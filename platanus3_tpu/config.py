@@ -1,0 +1,86 @@
+"""Assembly configuration.
+
+One dataclass holding every knob the reference scatters across getopt flags
+and hardcoded constants (SURVEY.md §5 "Config / flag system"):
+
+  reference source of each default --
+    k=25, short_k=21, num_hashes=10, threads=8, error_rate=5e-4
+        (``src/Options.cpp:9-16``)
+    cov_threshold=2            (``src/MakeBloomFilter.cpp:28``)
+    target FPR 1e-6            (``src/Options.cpp:52``)
+    supported-k whitelist      (``src/Assemble.cpp:31-53``) -- lifted: any
+        k >= 4 works here (multi-lane uint32 representation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass
+class AssemblyConfig:
+    # --- reference-compatible options (CLI -i -m -k -t) ---
+    k: int = 25                     # large k-mer length (-k)
+    filter_bits: int = 0            # Bloom bits; 0 = auto-size (-m)
+    threads: int = 8                # accepted for CLI compat; XLA manages
+                                    # parallelism, value is ignored (-t)
+
+    # --- reference hardcoded constants, lifted ---
+    short_k: int = 21               # exact-count k-mer length
+    cov_threshold: int = 2          # window-min solidity threshold
+    num_hashes: int = 10            # Bloom probes (auto-sizing may override)
+    error_rate: float = 5e-4        # read error rate for "reference" sizing
+    target_fpr: float = 1e-6        # Bloom sizing FPR target
+
+    # --- Bloom auto-sizing policy ---
+    # "reference": items = all_bases * error_rate * k  (src/Options.cpp:53)
+    #   -- assumes only erroneous k-mers enter the filter; on clean data the
+    #   filter saturates and false positives shatter the graph (verified
+    #   failure mode, BASELINE.md).  Kept for bit-for-bit parity runs.
+    # "safe" (default): items = all_bases -- every k-mer may be solid.
+    filter_policy: str = "safe"
+
+    # --- graph construction ---
+    restrict_to_seeds: bool = True  # only materialize components reachable
+                                    # from seed k-mers (reference traversal
+                                    # semantics, src/DeBruijnGraph.cpp:93)
+    use_exact_membership: bool = False  # adjacency via exact solid set
+                                        # instead of Bloom (no-FP mode)
+
+    # --- graph simplification (new vs reference; BASELINE configs 3-4) ---
+    clip_tips: bool = False
+    tip_max_len: int = 0            # 0 = auto (2*k)
+    pop_bubbles: bool = False
+    simplify_rounds: int = 3
+
+    # --- multi-k iteration (BASELINE config 4) ---
+    k_list: tuple = ()              # e.g. (32, 64, 128); empty = single k
+
+    # --- execution shaping ---
+    chunk_len: int = 1024           # bases per device chunk (reads are split
+                                    # into overlapping fixed-width chunks)
+    max_reads_in_flight: int = 0    # 0 = whole dataset in one device batch
+
+    # --- output ---
+    gfa_path: str = "./de_bruijn_graph.gfa"   # reference path,
+                                              # src/DeBruijnGraph.cpp:454
+    log_path: str = "./platanus3.log"         # reference path,
+                                              # src/Logging.cpp:11
+
+    def auto_filter_bits(self, all_bases: int) -> tuple[int, int]:
+        """Bloom sizing -> (bits, num_hashes).
+
+        "reference" policy reproduces ``Options::EstimateBloomfilter``
+        (``src/Options.cpp:50-60``); "safe" sizes for all k-mers being
+        insertable.  Explicit ``filter_bits`` always wins (the ``-m`` flag).
+        """
+        if self.filter_bits:
+            return self.filter_bits, self.num_hashes
+        if self.filter_policy == "reference":
+            items = max(1, int(all_bases * self.error_rate * self.k))
+        else:
+            items = max(1, int(all_bases))
+        bits = int(items * (-math.log(self.target_fpr)) / (math.log(2) ** 2))
+        hashes = max(1, int(math.log(2) * bits / items))
+        return bits, min(hashes, 30)

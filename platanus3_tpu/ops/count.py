@@ -1,0 +1,221 @@
+"""Exact k-mer counting via sort + segment reduction.
+
+TPU-native replacement for the reference's ``unordered_map``-based counter
+(``ReadFile::CountShortKmer``, reference ``src/Load.cpp:105-127``) and for
+the per-position count lookup inside ``MakeBF`` (reference
+``src/MakeBloomFilter.cpp:46-58``).  Hash maps don't exist on a TPU; the
+array-native equivalent is:
+
+    flatten all canonical k-mers -> multi-key stable sort (lanes MSB-first)
+    -> run-length boundaries -> segment ids -> counts per unique k-mer
+    -> scatter counts back through the sort permutation to per-position
+       counts.
+
+One sort produces BOTH the global count table and the per-position counts
+the solidity filter needs, replacing two hash-map passes.  All shapes are
+static; invalid (padding) positions carry a dedicated sentinel key lane so
+they sort to the end without colliding with real k-mers.
+
+``KmerTable`` (sorted unique keys + counts + valid size) is this
+framework's ``KmerCount`` (reference ``src/common.h:26``); lookups are
+vectorized multiword binary searches (``lookup``), and tables support
+padded concat-merge for streaming / sharded accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["KmerTable", "sort_kmers", "count_kmers", "count_with_positions",
+           "lookup", "merge_tables"]
+
+
+class KmerTable(NamedTuple):
+    """Sorted unique canonical k-mers with counts.
+
+    keys:   ``[cap, L] uint32`` lexicographically sorted; rows >= size are
+            all-ones padding (sorts last, never matches a real query after
+            size masking).
+    counts: ``[cap] int32`` (0 beyond size)
+    size:   scalar int32 array -- number of valid rows
+    """
+
+    keys: jnp.ndarray
+    counts: jnp.ndarray
+    size: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    KmerTable,
+    lambda t: ((t.keys, t.counts, t.size), None),
+    lambda _, leaves: KmerTable(*leaves),
+)
+
+
+def sort_kmers(kmers: jnp.ndarray, invalid: jnp.ndarray, *payloads):
+    """Stable sort of ``[N, L]`` keys with invalids last.
+
+    Returns ``(sorted_kmers [N, L], sorted_invalid [N], *sorted_payloads)``.
+    Uses ``jax.lax.sort`` with L+1 key operands: a leading invalid flag then
+    the lanes MSB-first -- this is the reference's canonical-k-mer ordering
+    (``CompareBit``) lifted to a bulk sort.
+    """
+    n, l = kmers.shape
+    ops = [invalid.astype(jnp.uint32)] + [kmers[:, j] for j in range(l)]
+    ops += list(payloads)
+    out = jax.lax.sort(tuple(ops), num_keys=l + 1, is_stable=True)
+    s_invalid = out[0] > 0
+    s_kmers = jnp.stack(out[1 : l + 1], axis=-1)
+    return (s_kmers, s_invalid) + tuple(out[l + 1 :])
+
+
+def _boundaries(s_kmers: jnp.ndarray, s_invalid: jnp.ndarray):
+    """First-occurrence flags and segment ids over sorted keys."""
+    n = s_kmers.shape[0]
+    prev_diff = jnp.any(s_kmers[1:] != s_kmers[:-1], axis=-1)
+    prev_diff = prev_diff | (s_invalid[1:] != s_invalid[:-1])
+    is_first = jnp.concatenate([jnp.ones((1,), dtype=bool), prev_diff])
+    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [N]
+    return is_first, seg_id
+
+
+def count_kmers(kmers: jnp.ndarray, valid: jnp.ndarray) -> KmerTable:
+    """Count unique canonical k-mers of a flat batch ``[N, L]``.
+
+    Capacity of the returned table is N (static); ``size`` is the dynamic
+    unique count.  Replaces hot loop #1 (``src/Load.cpp:118-124``).
+    """
+    t, _ = count_with_positions(kmers, valid)
+    return t
+
+
+def count_with_positions(kmers: jnp.ndarray, valid: jnp.ndarray,
+                         contributes: jnp.ndarray | None = None):
+    """Count AND return the count of each input position's k-mer.
+
+    Returns ``(KmerTable, per_position_counts [N] int32)`` where invalid
+    positions get count 0.  The per-position counts are what the solidity
+    window-min consumes (reference ``src/MakeBloomFilter.cpp:46-62``),
+    obtained here by scattering segment counts back through the sort
+    permutation instead of a second hash lookup pass.
+
+    ``contributes`` (default ``valid``): positions that add +1 to their
+    k-mer's count.  Chunked reads present overlap positions twice -- only
+    the owning chunk's copy contributes, but BOTH copies still receive the
+    k-mer's count in ``per_position_counts`` (they share a sort segment).
+    """
+    n, l = kmers.shape
+    if contributes is None:
+        contributes = valid
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_kmers, s_invalid, s_idx, s_contrib = sort_kmers(
+        kmers, ~valid, idx, (contributes & valid).astype(jnp.int32)
+    )
+    is_first, seg_id = _boundaries(s_kmers, s_invalid)
+
+    seg_count = jax.ops.segment_sum(
+        jnp.where(s_invalid, 0, s_contrib), seg_id, num_segments=n
+    )
+    # Unique table: scatter each sorted row to its segment slot.
+    pad = jnp.full((n, l), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+    keys = pad.at[seg_id].set(s_kmers)
+    num_valid_rows = jnp.sum((~s_invalid).astype(jnp.int32))
+    # Segments are ordered: valid segments first (invalid sentinel sorts
+    # last), so table size = seg_id of last valid element + 1.
+    size = jnp.where(
+        num_valid_rows > 0,
+        seg_id[jnp.maximum(num_valid_rows - 1, 0)] + 1,
+        0,
+    ).astype(jnp.int32)
+    counts = jnp.where(jnp.arange(n) < size, seg_count, 0)
+    keys = jnp.where((jnp.arange(n) < size)[:, None], keys, pad)
+
+    per_pos = jnp.zeros((n,), dtype=jnp.int32).at[s_idx].set(
+        jnp.where(s_invalid, 0, seg_count[seg_id])
+    )
+    return KmerTable(keys=keys, counts=counts, size=size), per_pos
+
+
+def _lex_less_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a < b lexicographic over last axis, elementwise on leading axes."""
+    l = a.shape[-1]
+    less = jnp.zeros(a.shape[:-1], dtype=bool)
+    eq = jnp.ones(a.shape[:-1], dtype=bool)
+    for j in range(l):
+        less = less | (eq & (a[..., j] < b[..., j]))
+        eq = eq & (a[..., j] == b[..., j])
+    return less
+
+
+def searchsorted_rows(table_keys: jnp.ndarray, size, queries: jnp.ndarray,
+                      max_log2: int | None = None) -> jnp.ndarray:
+    """Vectorized lower-bound binary search of ``[Q, L]`` queries in a
+    ``[cap, L]`` sorted key table (first ``size`` rows valid).
+
+    ~log2(cap) gather+compare rounds, all queries in parallel -- the bulk
+    replacement for per-k-mer hash lookups.
+    """
+    cap = table_keys.shape[0]
+    steps = max_log2 if max_log2 is not None else max(1, int(cap).bit_length())
+    q = queries.shape[0]
+    lo = jnp.zeros((q,), dtype=jnp.int32)
+    hi = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (q,))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        mid_keys = table_keys[mid]
+        go_right = _lex_less_rows(mid_keys, queries)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def lookup(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+    """Counts for ``[Q, L]`` query k-mers (0 when absent)."""
+    pos = searchsorted_rows(table.keys, table.size, queries)
+    pos_c = jnp.minimum(pos, table.keys.shape[0] - 1)
+    hit = jnp.all(table.keys[pos_c] == queries, axis=-1) & (pos < table.size)
+    return jnp.where(hit, table.counts[pos_c], 0)
+
+
+def lookup_id(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+    """Row index of each query in the table, or -1 when absent."""
+    pos = searchsorted_rows(table.keys, table.size, queries)
+    pos_c = jnp.minimum(pos, table.keys.shape[0] - 1)
+    hit = jnp.all(table.keys[pos_c] == queries, axis=-1) & (pos < table.size)
+    return jnp.where(hit, pos_c, -1)
+
+
+def merge_tables(a: KmerTable, b: KmerTable) -> KmerTable:
+    """Merge two count tables (concat -> sort -> segment-sum).
+
+    Capacity of the result is ``cap_a + cap_b``; used by the streaming
+    counter and the all-to-all sharded reduction.
+    """
+    keys = jnp.concatenate([a.keys, b.keys], axis=0)
+    counts = jnp.concatenate([a.counts, b.counts], axis=0)
+    n = keys.shape[0]
+    row = jnp.arange(n)
+    invalid = ~((row < a.size) | ((row >= a.keys.shape[0]) &
+                                  (row < a.keys.shape[0] + b.size)))
+    s_keys, s_invalid, s_counts = sort_kmers(keys, invalid, counts)
+    is_first, seg_id = _boundaries(s_keys, s_invalid)
+    seg_count = jax.ops.segment_sum(
+        jnp.where(s_invalid, 0, s_counts), seg_id, num_segments=n
+    )
+    pad = jnp.full_like(s_keys, np.uint32(0xFFFFFFFF))
+    out_keys = pad.at[seg_id].set(s_keys)
+    nvalid = jnp.sum((~s_invalid).astype(jnp.int32))
+    size = jnp.where(nvalid > 0,
+                     seg_id[jnp.maximum(nvalid - 1, 0)] + 1, 0).astype(jnp.int32)
+    out_counts = jnp.where(jnp.arange(n) < size, seg_count, 0)
+    out_keys = jnp.where((jnp.arange(n) < size)[:, None], out_keys, pad)
+    return KmerTable(keys=out_keys, counts=out_counts, size=size)

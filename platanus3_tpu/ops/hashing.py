@@ -1,0 +1,83 @@
+"""Vectorized k-mer hashing (uint32 lanes, murmur3-style mixing).
+
+TPU-native replacement of ``GetDoubleHash_64bit`` (reference
+``src/MyHash.cpp:21-35``).  The reference hashes ``std::hash<bitset>`` output
+through murmur3's finalizer; ``std::hash`` is implementation-defined, so the
+exact hash values are NOT part of the behavioral contract -- only the Bloom
+filter's no-false-negative property and tunable FPR are (SURVEY.md §7.3).
+
+Here every k-mer is ``[..., L] uint32`` and we run a murmur3-32-like
+per-lane mix entirely in uint32 (wrapping) arithmetic -- no 64-bit emulation
+on TPU.  Two independently seeded hashes drive the double-hashing probe
+sequence ``h1 + n*h2`` (reference ``src/bloomfilter.cpp:58-66``); filter
+sizes are powers of two so the ``mod`` is a mask and the u32 wraparound of
+``h1 + n*h2`` is exact modular arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from platanus3_tpu.constants import num_lanes
+
+__all__ = ["hash_kmers", "double_hash", "probe_positions"]
+
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+_MIX1 = np.uint32(0x85EBCA6B)
+_MIX2 = np.uint32(0xC2B2AE35)
+_GOLDEN = np.uint32(0x9E3779B9)
+
+
+def _rotl32(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    h = h ^ (h >> 16)
+    h = h * _MIX1
+    h = h ^ (h >> 13)
+    h = h * _MIX2
+    h = h ^ (h >> 16)
+    return h
+
+
+def hash_kmers(kmers: jnp.ndarray, k: int, seed: int) -> jnp.ndarray:
+    """Hash ``[..., L] uint32`` k-mers to ``[...] uint32``.
+
+    Murmur3-32 body over the lanes (static L-step unrolled loop -> pure VPU
+    integer ops, fuses into surrounding extraction/Bloom code under jit).
+    """
+    l = num_lanes(k)
+    assert kmers.shape[-1] == l
+    h = jnp.full(kmers.shape[:-1], np.uint32(seed) ^ (np.uint32(k) * _GOLDEN),
+                 dtype=jnp.uint32)
+    for j in range(l):
+        kx = kmers[..., j] * _C1
+        kx = _rotl32(kx, 15) * _C2
+        h = h ^ kx
+        h = _rotl32(h, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+    return _fmix32(h ^ np.uint32(4 * l))
+
+
+def double_hash(kmers: jnp.ndarray, k: int):
+    """Two independent u32 hashes ``(h1, h2)``; ``h2`` forced odd so the
+    double-hash probe sequence has full period in a power-of-two filter."""
+    h1 = hash_kmers(kmers, k, seed=0x8C5FB1F7)
+    h2 = hash_kmers(kmers, k, seed=0x27D4EB2F) | np.uint32(1)
+    return h1, h2
+
+
+def probe_positions(h1: jnp.ndarray, h2: jnp.ndarray, num_hashes: int,
+                    log2_bits: int) -> jnp.ndarray:
+    """Bloom probe bit positions ``[..., num_hashes] uint32``.
+
+    ``(h1 + n*h2) mod 2^log2_bits`` -- the reference's ``nthHash``
+    (``src/bloomfilter.cpp:58-66``) with a power-of-two modulus so u32
+    wraparound is exact.
+    """
+    n = jnp.arange(num_hashes, dtype=jnp.uint32)
+    pos = h1[..., None] + n * h2[..., None]
+    mask = np.uint32((1 << log2_bits) - 1)
+    return pos & mask
