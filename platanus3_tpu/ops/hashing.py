@@ -51,8 +51,8 @@ def hash_kmers(kmers: jnp.ndarray, k: int, seed: int) -> jnp.ndarray:
     """
     l = num_lanes(k)
     assert kmers.shape[-1] == l
-    h = jnp.full(kmers.shape[:-1], np.uint32(seed) ^ (np.uint32(k) * _GOLDEN),
-                 dtype=jnp.uint32)
+    init = np.uint32((seed ^ (k * 0x9E3779B9)) & 0xFFFFFFFF)
+    h = jnp.full(kmers.shape[:-1], init, dtype=jnp.uint32)
     for j in range(l):
         kx = kmers[..., j] * _C1
         kx = _rotl32(kx, 15) * _C2

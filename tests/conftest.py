@@ -1,15 +1,20 @@
 """Test harness: force a virtual 8-device CPU platform.
 
-Must run before the first ``import jax`` anywhere in the test session so
-multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4
-test plan, item 3).
+The container pre-imports jax with the TPU backend registered (axon
+sitecustomize), so setting ``JAX_PLATFORMS`` via the environment is too
+late; instead switch platforms through ``jax.config`` before any backend
+is initialized.  Unit + sharding tests then run on 8 virtual CPU devices
+(SURVEY.md §4 test plan, item 3); the real-TPU path is exercised by
+``bench.py`` and the driver's compile checks.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

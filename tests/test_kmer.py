@@ -104,10 +104,11 @@ def test_extract_kmers_matches_strings(k):
     assert v[0].sum() == n - k + 1
     assert v[1].sum() == len2 - k + 1
 
+    fw_np = np.asarray(fw)  # one transfer, then decode in bulk
     for row, s in [(0, s1), (1, s2)]:
+        got = K.decode_kmers_np(fw_np[row], k)
         for pos in range(len(s) - k + 1):
-            got = K.decode_kmers_np(np.asarray(fw[row, pos]), k)[0]
-            assert got == s[pos : pos + k], (row, pos)
+            assert got[pos] == s[pos : pos + k], (row, pos)
 
 
 def test_pack_unpack_roundtrip():
