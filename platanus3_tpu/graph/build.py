@@ -1,0 +1,332 @@
+"""Implicit de Bruijn graph -> junction/joint/unitig decomposition,
+as bulk array passes.
+
+TPU-native re-design of ``DeBruijnGraph`` (reference
+``src/DeBruijnGraph.cpp``).  The reference materializes the graph node by
+node: seed-driven BFS, one thread per k-mer, 8 Bloom probes per step,
+mutex-guarded hash maps (``MakeDBG``/``SearchNode``/``ExtendLeft/Right``,
+``src/DeBruijnGraph.cpp:93-297``).  None of that survives on a TPU.  The
+same decomposition falls out of three data-parallel facts:
+
+* a node's class depends only on its own 8-neighborhood:
+  ``junction <=> left_degree != 1 or right_degree != 1``
+  (``SearchNode``'s branch, ``src/DeBruijnGraph.cpp:167``); the walk loops
+  in ``ExtendLeft/Right`` continue exactly while the visited node has
+  degree pattern (1,1), so "unitig interior" == (1,1) nodes;
+
+* maximal runs of (1,1) nodes are chains in a functional graph whose
+  successor map is computable per-node (one gather each), so chain
+  contraction is pointer doubling: O(log N) rounds of
+  ``ptr = ptr[ptr]`` instead of a sequential walk;
+
+* reverse-complement symmetry is handled by working on DIRECTED STATES
+  ``s = 2*node + orientation``: every chain appears once per direction and
+  a canonical keep-rule dedups the mirror copy.
+
+Degrees are counted through the same membership oracle the reference uses
+-- the Bloom filter (``IsRecorded``, ``src/DeBruijnGraph.cpp:317-323``) --
+so false-positive behavior matches; an exact-membership mode (node-table
+lookups) is available as an upgrade the reference cannot express.
+
+Glossary mapping to the reference:
+  junction node  -> ``junctions`` map entry  (``AddJunctionNode``)
+  joint node     -> ``joints`` map entry     (chain ends, ``AddJointNode``)
+  straight node  -> ``straights`` unitig     (``AddStraightNode``)
+  lone (1,1) node between junctions -> junction (``SearchNode``
+      "cannot extend" branch, ``src/DeBruijnGraph.cpp:212-216``)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from platanus3_tpu.ops import bloom as bloom_mod
+from platanus3_tpu.ops import count as count_mod
+from platanus3_tpu.ops import kmer as kmer_mod
+
+__all__ = ["DBG", "build_graph"]
+
+_NO_STATE = np.int32(-1)
+
+
+class DBG(NamedTuple):
+    """Array-form de Bruijn graph decomposition.  ``M`` = node capacity
+    (static), ``size`` = valid node count; states ``s = 2*v + o`` where
+    ``o=0`` means the canonical (stored) orientation.
+
+    nodes:        ``[M, L] uint32`` sorted canonical solid k-mers
+    size:         scalar int32
+    left_present / right_present: ``[M, 4] bool`` membership of the 4
+                  left/right neighbors (via Bloom -- includes FPs, like the
+                  reference's ``CheckDirections``)
+    left_id / right_id: ``[M, 4] int32`` node id of each neighbor's
+                  canonical form, -1 if not in the node table
+    left_isfw / right_isfw: ``[M, 4] bool`` neighbor's traversal form ==
+                  its canonical form
+    is_junction:  ``[M] bool``  degree != (1,1)   (raw, before lone-chain
+                  promotion)
+    is_junction_final: ``[M] bool``  junction or lone chain node
+    is_joint:     ``[M] bool``  end node of a kept chain (n>=2)
+    joint_uid:    ``[M] int32`` unitig id a joint bounds, -1 otherwise
+    node_state_uid / node_state_pos: ``[M, 2] int32`` per-state unitig
+                  membership (-1 when not a member of a kept chain)
+    unitig_head / unitig_tail: ``[U] int32`` head/tail STATE of each kept
+                  chain (U = 2M capacity, first num_unitigs valid)
+    unitig_len:   ``[U] int32`` number of chain nodes n (sequence length =
+                  k + n - 1)
+    unitig_circular: ``[U] bool`` chain was a junction-free cycle (the
+                  reference's traversal would not terminate on these)
+    num_unitigs:  scalar int32
+    """
+
+    nodes: jnp.ndarray
+    size: jnp.ndarray
+    left_present: jnp.ndarray
+    right_present: jnp.ndarray
+    left_id: jnp.ndarray
+    right_id: jnp.ndarray
+    left_isfw: jnp.ndarray
+    right_isfw: jnp.ndarray
+    is_junction: jnp.ndarray
+    is_junction_final: jnp.ndarray
+    is_joint: jnp.ndarray
+    joint_uid: jnp.ndarray
+    node_state_uid: jnp.ndarray
+    node_state_pos: jnp.ndarray
+    unitig_head: jnp.ndarray
+    unitig_tail: jnp.ndarray
+    unitig_len: jnp.ndarray
+    unitig_circular: jnp.ndarray
+    num_unitigs: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    DBG,
+    lambda g: (tuple(g), None),
+    lambda _, leaves: DBG(*leaves),
+)
+
+
+def _neighbor_info(nodes, size, k, bf, use_exact):
+    """Membership/id/orientation of all 8 neighbors of every node."""
+    m, l = nodes.shape
+    row_valid = jnp.arange(m) < size
+
+    def side(shift_fn):
+        cforms, isfw, ids, present = [], [], [], []
+        for b in range(4):
+            u = shift_fn(nodes, np.uint32(b), k)
+            canon, u_isfw = kmer_mod.canonical(u, k)
+            nid = count_mod.lookup_id(
+                count_mod.KmerTable(nodes, jnp.zeros((m,), jnp.int32), size),
+                canon)
+            if use_exact:
+                pres = nid >= 0
+            else:
+                pres = bloom_mod.bloom_query(bf, canon, k)
+            cforms.append(canon)
+            isfw.append(u_isfw)
+            ids.append(nid)
+            present.append(pres & row_valid)
+        return (jnp.stack(present, axis=1), jnp.stack(ids, axis=1),
+                jnp.stack(isfw, axis=1))
+
+    lp, lid, lfw = side(kmer_mod.shift_in_left)
+    rp, rid, rfw = side(kmer_mod.shift_in_right)
+    return lp, lid, lfw, rp, rid, rfw
+
+
+def _pointer_double(nxt, rounds):
+    """tail/dist via pointer doubling: after convergence ``tail[s]`` is the
+    self-loop reached from ``s`` and ``dist[s]`` the number of steps."""
+    idx = jnp.arange(nxt.shape[0], dtype=jnp.int32)
+    dist = (nxt != idx).astype(jnp.int32)
+
+    def body(_, carry):
+        tail, dist = carry
+        return tail[tail], dist + dist[tail]
+
+    tail, dist = jax.lax.fori_loop(0, rounds, body, (nxt, dist))
+    return tail, dist
+
+
+def _min_double(nxt, value, rounds):
+    """min of ``value`` over all states reachable from each state."""
+    def body(_, carry):
+        ptr, val = carry
+        return ptr[ptr], jnp.minimum(val, val[ptr])
+
+    _, val = jax.lax.fori_loop(0, rounds, body, (nxt, value))
+    return val
+
+
+def build_graph(nodes: jnp.ndarray, size, k: int,
+                bf: bloom_mod.BloomFilter, use_exact: bool = False) -> DBG:
+    """Construct the full decomposition from a sorted canonical node table.
+
+    ``nodes``: ``[M, L] uint32`` sorted unique solid canonical k-mers
+    (padding rows of 0xFFFFFFFF past ``size``).
+    """
+    m, l = nodes.shape
+    rounds = max(1, int(2 * m).bit_length())
+    row_valid = jnp.arange(m, dtype=jnp.int32) < size
+
+    lp, lid, lfw, rp, rid, rfw = _neighbor_info(nodes, size, k, bf, use_exact)
+    ldeg = jnp.sum(lp, axis=1)
+    rdeg = jnp.sum(rp, axis=1)
+    is_junction = ((ldeg != 1) | (rdeg != 1)) & row_valid
+    chain_node = (~is_junction) & row_valid
+
+    # Palindrome flags of neighbors (for orientation propagation on even k).
+    if k % 2 == 0:
+        def pal_of(ids):
+            idc = jnp.clip(ids, 0, m - 1)
+            return kmer_mod.is_palindrome(nodes[idc], k) & (ids >= 0)
+        lpal = pal_of(lid)
+        rpal = pal_of(rid)
+    else:
+        lpal = jnp.zeros_like(lp)
+        rpal = jnp.zeros_like(rp)
+
+    # ---- successor states ------------------------------------------------
+    def pick(arr, b):
+        return jnp.take_along_axis(arr, b[:, None], axis=1)[:, 0]
+
+    rb = jnp.argmax(rp, axis=1).astype(jnp.int32)
+    lb = jnp.argmax(lp, axis=1).astype(jnp.int32)
+    r_id, r_fw, r_pal = pick(rid, rb), pick(rfw, rb), pick(rpal, rb)
+    l_id, l_fw, l_pal = pick(lid, lb), pick(lfw, lb), pick(lpal, lb)
+
+    # Walking right in canonical orientation (o=0): encountered form is the
+    # raw right neighbor; next orientation 0 iff that form is canonical.
+    nxt0_id = r_id
+    nxt0_o = jnp.where(r_fw, 0, 1).astype(jnp.int32)
+    # Walking right in reversed orientation (o=1): encountered form is
+    # revcomp(left neighbor); canonical iff the left neighbor is NOT
+    # canonical (or palindromic).
+    nxt1_id = l_id
+    nxt1_o = jnp.where(l_fw & ~l_pal, 1, 0).astype(jnp.int32)
+
+    def state_of(ids, orient):
+        ok = chain_node & (ids >= 0)
+        ok = ok & chain_node[jnp.clip(ids, 0, m - 1)]
+        s = ids * 2 + orient
+        return ok, s
+
+    ok0, s0 = state_of(nxt0_id, nxt0_o)
+    ok1, s1 = state_of(nxt1_id, nxt1_o)
+    states = jnp.arange(2 * m, dtype=jnp.int32)
+    self_s = states.reshape(m, 2)
+    nxt = jnp.stack(
+        [jnp.where(ok0, s0, self_s[:, 0]), jnp.where(ok1, s1, self_s[:, 1])],
+        axis=1,
+    ).reshape(-1)
+    chain_state = jnp.repeat(chain_node, 2)
+    nxt = jnp.where(chain_state, nxt, states)
+
+    # ---- cycle detection & breaking -------------------------------------
+    tail0, _ = _pointer_double(nxt, rounds)
+    cyclic = (nxt[tail0] != tail0) & chain_state
+    cyc_min = _min_double(
+        nxt, jnp.where(cyclic, states, np.int32(2**30)), rounds)
+    cyc_head = cyclic & (cyc_min == states)
+    # Break each cycle just before its (min-state) head.
+    nxt_orig = nxt
+    nxt = jnp.where(cyclic & (nxt == cyc_min), states, nxt)
+
+    # ---- chains ----------------------------------------------------------
+    tail, d2t = _pointer_double(nxt, rounds)
+
+    # prev state: s has a predecessor iff its flip has a successor in the
+    # PRE-break map (nxt_orig[flip]==flip means flip is a tail -> s is a
+    # head).  Using the broken map here would also make the flip of a
+    # mirror cycle's break-tail look like a head mid-cycle.  Cycle heads
+    # are heads by construction.
+    flip = states ^ 1
+    has_prev = chain_state & (nxt_orig[flip] != flip) & ~cyc_head
+    is_head = chain_state & ~has_prev
+
+    # Mirror dedup: every chain appears once per direction; keep the copy
+    # whose minimum member state is <= the mirror's minimum (computed as
+    # the min of flipped member ids).  Strictly smaller for distinct
+    # mirror pairs; EQUAL exactly when the chain is its own mirror (a
+    # palindromic unitig whose spelled sequence equals its reverse
+    # complement, e.g. ACG->CGC->GCG->CGT) -- '<=' keeps it once.
+    minall = _min_double(nxt, jnp.where(chain_state, states, np.int32(2**30)),
+                         rounds)
+    fmin = _min_double(nxt, jnp.where(chain_state, flip, np.int32(2**30)),
+                       rounds)
+    keep = is_head & (minall <= fmin)
+
+    n_nodes = d2t + 1  # chain length in nodes, per head
+
+    # Lone chains (n == 1): promoted to junction (reference
+    # ``src/DeBruijnGraph.cpp:212-216``); mirror states are both lone, the
+    # node promotion is orientation-independent.
+    lone_state = is_head & (d2t == 0)
+    lone_node = lone_state.reshape(m, 2).any(axis=1)
+    is_junction_final = is_junction | (chain_node & lone_node)
+
+    real_head = keep & (d2t >= 1)
+
+    # ---- unitig ids, membership, positions -------------------------------
+    uid_of_head = jnp.cumsum(real_head.astype(jnp.int32)) - 1
+    num_unitigs = jnp.sum(real_head.astype(jnp.int32))
+    # head state per unitig slot (capacity 2M)
+    unitig_head = jnp.full((2 * m,), _NO_STATE).at[
+        jnp.where(real_head, uid_of_head, 2 * m)
+    ].set(states, mode="drop")
+    unitig_tail = jnp.full((2 * m,), _NO_STATE).at[
+        jnp.where(real_head, uid_of_head, 2 * m)
+    ].set(tail[states], mode="drop")
+    unitig_len = jnp.zeros((2 * m,), jnp.int32).at[
+        jnp.where(real_head, uid_of_head, 2 * m)
+    ].set(n_nodes, mode="drop")
+    unitig_circular = jnp.zeros((2 * m,), bool).at[
+        jnp.where(real_head, uid_of_head, 2 * m)
+    ].set(cyc_head, mode="drop")
+
+    # member -> head via the chain's unique tail state
+    head_by_tail = jnp.full((2 * m,), _NO_STATE).at[
+        jnp.where(real_head, tail, 2 * m)
+    ].set(states, mode="drop")
+    my_head = head_by_tail[tail]  # -1 when chain not kept / not real
+    member = chain_state & (my_head >= 0)
+    uid = jnp.where(member, uid_of_head[jnp.clip(my_head, 0, 2 * m - 1)],
+                    -1).astype(jnp.int32)
+    pos = jnp.where(member, d2t[jnp.clip(my_head, 0, 2 * m - 1)] - d2t, -1)
+
+    node_state_uid = uid.reshape(m, 2)
+    node_state_pos = pos.reshape(m, 2)
+
+    # joints: end nodes of kept chains
+    head_node = unitig_head >> 1
+    tail_node = unitig_tail >> 1
+    valid_u = jnp.arange(2 * m) < num_unitigs
+    is_joint = jnp.zeros((m,), bool)
+    joint_uid = jnp.full((m,), np.int32(-1))
+    uslot = jnp.arange(2 * m, dtype=jnp.int32)
+    tgt_h = jnp.where(valid_u, head_node, m)
+    tgt_t = jnp.where(valid_u, tail_node, m)
+    is_joint = is_joint.at[tgt_h].set(True, mode="drop")
+    is_joint = is_joint.at[tgt_t].set(True, mode="drop")
+    joint_uid = joint_uid.at[tgt_h].max(uslot, mode="drop")
+    joint_uid = joint_uid.at[tgt_t].max(uslot, mode="drop")
+
+    return DBG(
+        nodes=nodes, size=jnp.asarray(size, jnp.int32),
+        left_present=lp, right_present=rp,
+        left_id=lid, right_id=rid,
+        left_isfw=lfw, right_isfw=rfw,
+        is_junction=is_junction,
+        is_junction_final=is_junction_final,
+        is_joint=is_joint, joint_uid=joint_uid,
+        node_state_uid=node_state_uid, node_state_pos=node_state_pos,
+        unitig_head=unitig_head, unitig_tail=unitig_tail,
+        unitig_len=unitig_len, unitig_circular=unitig_circular,
+        num_unitigs=num_unitigs,
+    )

@@ -65,6 +65,8 @@ class ReadBatch:
     read_id: np.ndarray
     start: np.ndarray
     read_len: np.ndarray
+    prev_base: np.ndarray   # [C] uint8 base before chunk start (4 = none)
+    next_base: np.ndarray   # [C] uint8 base after chunk end (4 = none)
     chunk_len: int
     k: int
     all_bases: int
@@ -164,6 +166,8 @@ def chunk_reads(seqs: List[str], k: int, chunk_len: int) -> ReadBatch:
 
     c = len(starts)
     bases = np.zeros((max(c, 1), chunk_len), dtype=np.uint8)
+    prev_b = np.full(max(c, 1), 4, dtype=np.uint8)
+    next_b = np.full(max(c, 1), 4, dtype=np.uint8)
     row = 0
     for rid, s in enumerate(seqs):
         codes = _CODE[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
@@ -173,6 +177,10 @@ def chunk_reads(seqs: List[str], k: int, chunk_len: int) -> ReadBatch:
             st = i * stride
             v = min(n - st, chunk_len)
             bases[row, :v] = codes[st : st + v]
+            if st > 0:
+                prev_b[row] = codes[st - 1]
+            if st + chunk_len < n:
+                next_b[row] = codes[st + chunk_len]
             row += 1
 
     return ReadBatch(
@@ -181,6 +189,8 @@ def chunk_reads(seqs: List[str], k: int, chunk_len: int) -> ReadBatch:
         read_id=np.asarray(rids or [0], dtype=np.int32),
         start=np.asarray(starts or [0], dtype=np.int32),
         read_len=np.asarray(rlens or [0], dtype=np.int32),
+        prev_base=prev_b,
+        next_base=next_b,
         chunk_len=chunk_len,
         k=k,
         all_bases=total,

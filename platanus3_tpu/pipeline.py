@@ -1,0 +1,203 @@
+"""End-to-end assembly pipeline.
+
+The TPU-native analog of ``Assemble<BITSET>`` (reference
+``src/Assemble.cpp:6-28``), with the same six stage boundaries (SURVEY.md
+§3) expressed as three jitted device programs plus a host output stage:
+
+  stage 1 (device): short-k count -> window-min solidity -> Bloom build,
+            solid node table, per-read seed k-mers
+            (= CountShortKmer + MakeBF)
+  stage 2 (device): graph decomposition -- degrees, junctions, chain
+            contraction (= MakeDBG/SearchNode/Extend*)
+  stage 3 (device): coverage + junction edge tallies (= CountNodeCoverage)
+            and seed-component reachability (= the BFS's visited set)
+  stage 4 (host):   unitig strings + GFA (= PrintGraph)
+
+Between stage 1 and 2 the node table is compacted: the host reads the
+unique-node count and re-jits stage 2 with a power-of-two capacity, so
+graph arrays are sized to the actual graph, not to the read volume.
+
+Stage boundaries are natural checkpoints (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from platanus3_tpu.config import AssemblyConfig
+from platanus3_tpu.graph import build as build_mod
+from platanus3_tpu.graph import coverage as cov_mod
+from platanus3_tpu.graph import reach as reach_mod
+from platanus3_tpu.graph import sequence as seq_mod
+from platanus3_tpu.io import gfa as gfa_mod
+from platanus3_tpu.io import reads as reads_mod
+from platanus3_tpu.ops import bloom as bloom_mod
+from platanus3_tpu.ops import count as count_mod
+from platanus3_tpu.ops import kmer as kmer_mod
+from platanus3_tpu.ops import solid as solid_mod
+from platanus3_tpu.utils.logging import PipelineLog
+
+__all__ = ["assemble", "AssemblyResult"]
+
+
+@dataclasses.dataclass
+class AssemblyResult:
+    gfa_lines: list
+    straight_seqs: list          # unitig id -> sequence (kept orientation)
+    dbg: object                  # DBG pytree (device)
+    cov: object                  # CoverageResult
+    reach_jun: object
+    reach_uni: object
+    num_nodes: int
+    num_junctions: int
+    num_straights: int
+    stats: dict
+
+
+@partial(jax.jit, static_argnames=("k", "short_k", "cov_threshold",
+                                   "num_reads"))
+def _stage1(packed, valid_len, read_id, start, read_len, bf, *,
+            k, short_k, cov_threshold, num_reads):
+    batch_arrays = (packed, valid_len, read_id, start, read_len)
+    result, bf = solid_mod.solid_kmers(
+        batch_arrays, k, short_k, cov_threshold, bf)
+    seed_fw, has_seed = solid_mod.first_solid_per_read(
+        result, read_id, start, num_reads)
+    l = result.canon.shape[-1]
+    node_table = count_mod.count_kmers(
+        result.canon.reshape(-1, l),
+        (result.is_solid & result.owned).reshape(-1))
+    return node_table, bf, seed_fw, has_seed, result.short_table
+
+
+@partial(jax.jit, static_argnames=("k", "use_exact"))
+def _stage2(nodes, size, bf, *, k, use_exact):
+    return build_mod.build_graph(nodes, size, k, bf, use_exact=use_exact)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _stage3(dbg, packed, valid_len, start, read_len, prev_base, next_base,
+            seed_fw, has_seed, *, k):
+    bases = kmer_mod.unpack_bases(packed)
+    cov = cov_mod.count_coverage(
+        dbg, k, bases, valid_len, start, read_len, prev_base, next_base)
+    reach_jun, reach_uni = reach_mod.reachable(dbg, seed_fw, has_seed, k)
+    chars = seq_mod.member_chars(dbg, k)
+    return cov, reach_jun, reach_uni, chars
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
+             write_output: bool = True) -> AssemblyResult:
+    """Assemble reads -> GFA.
+
+    ``source``: path to .fasta/.fastq, a list of sequence strings, or a
+    prepared ``ReadBatch``.
+    """
+    log = log or PipelineLog(config.log_path, echo=False)
+    t0 = time.time()
+    log.write("Assemble")
+
+    # ---- load ----
+    if isinstance(source, reads_mod.ReadBatch):
+        batch = source
+    elif isinstance(source, (list, tuple)):
+        batch = reads_mod.reads_from_strings(list(source), config.k,
+                                             config.chunk_len)
+    else:
+        batch = reads_mod.load_reads(source, config.k, config.chunk_len)
+    log.write(f"read file loaded ({batch.num_reads} reads, "
+              f"{batch.all_bases} bases, {batch.num_chunks} chunks)")
+
+    if batch.num_reads == 0:
+        # All reads shorter than k (dropped, src/Load.cpp:59,86) or empty
+        # input: the reference would emit a header-only GFA.
+        lines = ["H\tVN:Z:1.0"]
+        if write_output:
+            with open(config.gfa_path, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        log.write("finish (no reads >= k)")
+        return AssemblyResult(
+            gfa_lines=lines, straight_seqs=[], dbg=None, cov=None,
+            reach_jun=None, reach_uni=None, num_nodes=0,
+            num_junctions=0, num_straights=0,
+            stats={"elapsed_s": time.time() - t0, "all_bases": 0,
+                   "num_reads": 0, "solid_nodes": 0})
+
+    bits, hashes = config.auto_filter_bits(batch.all_bases)
+    bf = bloom_mod.make_bloom(bits, hashes)
+    log.metric("filter_bits", 1 << bf.log2_bits)
+    log.metric("num_hashes", bf.num_hashes)
+
+    dev = lambda x: jnp.asarray(x)
+    packed = dev(batch.packed)
+    valid_len = dev(batch.valid_len)
+    read_id = dev(batch.read_id)
+    start = dev(batch.start)
+    read_len = dev(batch.read_len)
+
+    # ---- stage 1: count + solidity + Bloom + seeds ----
+    table, bf, seed_fw, has_seed, short_table = _stage1(
+        packed, valid_len, read_id, start, read_len, bf,
+        k=config.k, short_k=min(config.short_k, config.k),
+        cov_threshold=config.cov_threshold, num_reads=batch.num_reads)
+    num_nodes = int(table.size)
+    log.write(f"counted short kmer; bloom filter loaded; "
+              f"solid nodes={num_nodes}")
+    log.metric("seed kmer num", int(jnp.sum(has_seed)))
+
+    # ---- compact node table to a power-of-two capacity ----
+    cap = max(8, _next_pow2(num_nodes))
+    cap = min(cap, table.keys.shape[0]) if table.keys.shape[0] >= 8 else cap
+    nodes = table.keys[:cap]
+    size = jnp.asarray(num_nodes, jnp.int32)
+
+    # ---- stage 2: graph ----
+    dbg = _stage2(nodes, size, bf, k=config.k,
+                  use_exact=config.use_exact_membership)
+    log.write("de bruijn graph loaded")
+
+    # ---- stage 3: coverage + reachability ----
+    cov, reach_jun, reach_uni, chars = _stage3(
+        dbg, packed, valid_len, start, read_len,
+        dev(batch.prev_base), dev(batch.next_base),
+        seed_fw, has_seed, k=config.k)
+    if not config.restrict_to_seeds:
+        reach_jun = jnp.ones_like(reach_jun)
+        reach_uni = jnp.ones_like(reach_uni)
+    log.write("count node coverage")
+
+    # ---- stage 4 (host): sequences + GFA ----
+    dbg_np = jax.tree.map(np.asarray, dbg)
+    cov_np = jax.tree.map(np.asarray, cov)
+    seqs = seq_mod.unitig_sequences(dbg_np, np.asarray(chars), config.k)
+    lines = gfa_mod.gfa_lines(dbg_np, cov_np, seqs,
+                              np.asarray(reach_jun), np.asarray(reach_uni),
+                              config.k)
+    if write_output:
+        with open(config.gfa_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    n_s = sum(1 for ln in lines if ln.startswith("S\tStraight"))
+    n_j = sum(1 for ln in lines if ln.startswith("S\tJunction"))
+    log.write(f"finish ({time.time() - t0:.2f}s, {n_s} straights, "
+              f"{n_j} junctions)")
+
+    return AssemblyResult(
+        gfa_lines=lines, straight_seqs=seqs, dbg=dbg, cov=cov,
+        reach_jun=reach_jun, reach_uni=reach_uni,
+        num_nodes=num_nodes, num_junctions=n_j, num_straights=n_s,
+        stats={"elapsed_s": time.time() - t0,
+               "all_bases": batch.all_bases,
+               "num_reads": batch.num_reads,
+               "solid_nodes": num_nodes},
+    )
