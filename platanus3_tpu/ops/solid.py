@@ -37,7 +37,8 @@ from platanus3_tpu.ops import count as count_mod
 from platanus3_tpu.ops import kmer as kmer_mod
 from platanus3_tpu.ops.windowmin import window_min
 
-__all__ = ["SolidResult", "short_kmer_positions", "solid_kmers"]
+__all__ = ["SolidResult", "short_kmer_positions", "solid_kmers",
+           "owned_mask", "first_solid_per_read"]
 
 
 class SolidResult(NamedTuple):
@@ -58,7 +59,7 @@ class SolidResult(NamedTuple):
     short_table: count_mod.KmerTable
 
 
-def _owned_mask(start, read_len, stride, p, kk, k):
+def owned_mask(start, read_len, stride, p, kk, k):
     """[C, p] bool: chunk-local position owned by this chunk.
 
     A position (global start ``g = start + local``) for k-mer length ``kk``
@@ -84,7 +85,7 @@ def short_kmer_positions(bases, valid_len, start, read_len, stride,
     fw, valid = kmer_mod.extract_kmers(bases, valid_len, short_k)
     canon, _ = kmer_mod.canonical(fw, short_k)
     c, p, l = canon.shape
-    owned = _owned_mask(start, read_len, stride, p, short_k, k) & valid
+    owned = owned_mask(start, read_len, stride, p, short_k, k) & valid
     return canon, valid, owned
 
 
@@ -125,7 +126,7 @@ def solid_kmers(batch_arrays, k: int, short_k: int, cov_threshold: int,
     fw, valid_k = kmer_mod.extract_kmers(bases, valid_len, k)
     canon, _ = kmer_mod.canonical(fw, k)
     pk = fw.shape[1]
-    owned_k = _owned_mask(start, read_len, stride, pk, k, k) & valid_k
+    owned_k = owned_mask(start, read_len, stride, pk, k, k) & valid_k
     assert cov_est.shape[1] == pk, (cov_est.shape, pk)
 
     is_solid = (cov_est >= cov_threshold) & valid_k

@@ -98,11 +98,16 @@ def _next_pow2(n: int) -> int:
 
 
 def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
-             write_output: bool = True) -> AssemblyResult:
+             write_output: bool = True, mesh=None) -> AssemblyResult:
     """Assemble reads -> GFA.
 
     ``source``: path to .fasta/.fastq, a list of sequence strings, or a
     prepared ``ReadBatch``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with axis 'd'; stage 1 then
+    runs data-parallel with a hash-prefix-sharded count table and
+    allreduce-merged Bloom (parallel/sharded.py).  The result is
+    bitwise-identical to the single-device path.
     """
     log = log or PipelineLog(config.log_path, echo=False)
     t0 = time.time()
@@ -147,10 +152,25 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     read_len = dev(batch.read_len)
 
     # ---- stage 1: count + solidity + Bloom + seeds ----
-    table, bf, seed_fw, has_seed, short_table = _stage1(
-        packed, valid_len, read_id, start, read_len, bf,
-        k=config.k, short_k=min(config.short_k, config.k),
-        cov_threshold=config.cov_threshold, num_reads=batch.num_reads)
+    if mesh is not None:
+        from platanus3_tpu.parallel import sharded as sharded_mod
+        arrays = sharded_mod.pad_batch_to_devices(
+            (batch.packed, batch.valid_len, batch.read_id, batch.start,
+             batch.read_len), mesh.devices.size)
+        table, bf, seed_fw, has_seed, ovf = sharded_mod.sharded_stage1(
+            mesh, *arrays, bf,
+            k=config.k, short_k=min(config.short_k, config.k),
+            cov_threshold=config.cov_threshold, num_reads=batch.num_reads)
+        if int(ovf) > 0:
+            raise RuntimeError(
+                f"all-to-all bucket overflow ({int(ovf)} k-mers dropped); "
+                f"increase slack")
+        short_table = None
+    else:
+        table, bf, seed_fw, has_seed, short_table = _stage1(
+            packed, valid_len, read_id, start, read_len, bf,
+            k=config.k, short_k=min(config.short_k, config.k),
+            cov_threshold=config.cov_threshold, num_reads=batch.num_reads)
     num_nodes = int(table.size)
     log.write(f"counted short kmer; bloom filter loaded; "
               f"solid nodes={num_nodes}")
