@@ -220,7 +220,7 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         local_fn, mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P()),
         out_specs=(P("d"), P("d"), P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     shard_keys, shard_valid, bits, seed_fw, has_seed, ovf = fn(
         jnp.asarray(packed), jnp.asarray(valid_len), jnp.asarray(read_id),
