@@ -1,0 +1,106 @@
+"""Command-line interface.
+
+Flag-compatible with the reference binary (``Options::Parse``, reference
+``src/Options.cpp:23-48``: ``-i`` readfile, ``-m`` filter bits, ``-k``
+k-mer length, ``-t`` threads) plus the knobs the reference hardcodes
+(SURVEY.md §5 config row) and the new framework's extensions (multi-k,
+simplification, mesh).
+
+Usage (matches ``ShowUsage``, ``src/ShowInfo.cpp:9``):
+    platanus3-tpu -i {readfile} -k {kmersize} -t {numthread}
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="platanus3-tpu",
+        description="TPU-native de Bruijn assembler "
+                    "(platanus3-capable, JAX/XLA).")
+    p.add_argument("-i", dest="readfile", required=False,
+                   help="input reads (.fasta/.fastq)")
+    p.add_argument("-m", dest="filter_bits", type=int, default=0,
+                   help="Bloom filter size in bits (0 = auto)")
+    p.add_argument("-k", dest="k", type=int, default=25,
+                   help="k-mer length (default 25)")
+    p.add_argument("-t", dest="threads", type=int, default=8,
+                   help="accepted for compatibility; XLA manages threads")
+    p.add_argument("--short-k", type=int, default=21)
+    p.add_argument("--cov-threshold", type=int, default=2)
+    p.add_argument("--filter-policy", choices=["safe", "reference"],
+                   default="safe",
+                   help="auto Bloom sizing: 'safe' sizes for all k-mers; "
+                        "'reference' reproduces the reference formula "
+                        "(known to saturate on clean data)")
+    p.add_argument("--chunk-len", type=int, default=1024)
+    p.add_argument("--k-list", type=str, default="",
+                   help="comma-separated multi-k schedule, e.g. 32,64,128")
+    p.add_argument("--clip-tips", action="store_true")
+    p.add_argument("--pop-bubbles", action="store_true")
+    p.add_argument("--no-seed-restrict", action="store_true",
+                   help="emit all components, not only seed-reachable ones")
+    p.add_argument("--exact-membership", action="store_true",
+                   help="use the exact solid set for adjacency instead of "
+                        "the Bloom filter (no false positives)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard stage 1 over all visible devices")
+    p.add_argument("-o", "--output", default="./de_bruijn_graph.gfa")
+    p.add_argument("--log", default="./platanus3.log")
+    p.add_argument("--checkpoint-dir", default="",
+                   help="directory for stage checkpoints (resume support)")
+    p.add_argument("--echo-log", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if not args.readfile:
+        print("Usage: platanus3-tpu -i {readfile} -k {kmersize} "
+              "-t {numthread}")
+        return 0
+
+    from platanus3_tpu.config import AssemblyConfig
+    from platanus3_tpu.pipeline import assemble
+    from platanus3_tpu.utils.logging import PipelineLog
+
+    k_list = tuple(int(x) for x in args.k_list.split(",") if x)
+    cfg = AssemblyConfig(
+        k=k_list[0] if k_list else args.k,
+        filter_bits=args.filter_bits,
+        threads=args.threads,
+        short_k=args.short_k,
+        cov_threshold=args.cov_threshold,
+        filter_policy=args.filter_policy,
+        chunk_len=args.chunk_len,
+        k_list=k_list,
+        clip_tips=args.clip_tips,
+        pop_bubbles=args.pop_bubbles,
+        restrict_to_seeds=not args.no_seed_restrict,
+        use_exact_membership=args.exact_membership,
+        gfa_path=args.output,
+        log_path=args.log,
+    )
+    log = PipelineLog(cfg.log_path, echo=args.echo_log)
+
+    mesh = None
+    if args.mesh:
+        import jax
+        from platanus3_tpu.parallel import sharded
+        mesh = sharded.make_mesh(jax.devices())
+
+    if k_list and len(k_list) > 1:
+        from platanus3_tpu.graph.multik import assemble_multik
+        res = assemble_multik(args.readfile, cfg, log=log, mesh=mesh)
+    else:
+        res = assemble(args.readfile, cfg, log=log, mesh=mesh)
+    print(f"wrote {cfg.gfa_path}: {res.num_straights} straights, "
+          f"{res.num_junctions} junctions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,6 +97,11 @@ class DBG(NamedTuple):
     joint_uid: jnp.ndarray
     node_state_uid: jnp.ndarray
     node_state_pos: jnp.ndarray
+    state_next_id: jnp.ndarray   # [M, 2] raw rightward continuation node id
+                                 # per state (valid for (1,1) nodes; -1 if
+                                 # the neighbor is not in the node table)
+    state_next_o: jnp.ndarray    # [M, 2] orientation the continuation is
+                                 # encountered in (0 = canonical)
     unitig_head: jnp.ndarray
     unitig_tail: jnp.ndarray
     unitig_len: jnp.ndarray
@@ -326,6 +331,8 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
         is_junction_final=is_junction_final,
         is_joint=is_joint, joint_uid=joint_uid,
         node_state_uid=node_state_uid, node_state_pos=node_state_pos,
+        state_next_id=jnp.stack([nxt0_id, nxt1_id], axis=1),
+        state_next_o=jnp.stack([nxt0_o, nxt1_o], axis=1),
         unitig_head=unitig_head, unitig_tail=unitig_tail,
         unitig_len=unitig_len, unitig_circular=unitig_circular,
         num_unitigs=num_unitigs,

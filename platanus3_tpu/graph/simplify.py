@@ -1,0 +1,140 @@
+"""Graph simplification: tip clipping and bubble popping.
+
+NEW capability with no reference counterpart (the reference stops at the
+raw junction/unitig graph; SURVEY.md notes tip clipping and bubble popping
+as required new work, §7 layer 5 / BASELINE configs 3-4).
+
+Definitions (velvet/SPAdes-style, expressed on the contracted graph):
+
+* TIP: a unitig whose sequence is short (<= ``tip_max_len``, default 2k)
+  and whose far end is DEAD -- the bounding junction has zero continuations
+  on the side away from the unitig.  Islands (dead at both ends) are kept.
+
+* BUBBLE: two or more unitigs whose bounding junction pairs coincide
+  (unordered) and whose lengths are within 20%; all but the
+  highest-coverage arm are popped.
+
+Simplification DECISIONS are made host-side on the small contracted-graph
+arrays (O(U + M) data); the expensive consequence -- rebuilding the graph
+without the dropped k-mers and re-contracting chains -- runs back on
+device with exact membership (after deletion the Bloom filter no longer
+describes the k-mer set, so adjacency switches to node-table lookups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["unitig_coverage", "tip_mask", "bubble_mask",
+           "node_keep_mask", "endpoint_junctions"]
+
+
+def unitig_coverage(dbg_np, node_cov: np.ndarray) -> np.ndarray:
+    """Mean member-node coverage per unitig ([U] float)."""
+    num_u = int(dbg_np.num_unitigs)
+    uid = np.asarray(dbg_np.node_state_uid).reshape(-1)
+    m2 = uid.shape[0]
+    covs = np.repeat(np.asarray(node_cov), 2)
+    tot = np.zeros(max(num_u, 1), dtype=np.float64)
+    cnt = np.zeros(max(num_u, 1), dtype=np.int64)
+    sel = uid >= 0
+    np.add.at(tot, uid[sel], covs[sel])
+    np.add.at(cnt, uid[sel], 1)
+    return tot / np.maximum(cnt, 1)
+
+
+def endpoint_junctions(dbg_np):
+    """Per-unitig far-junction info.
+
+    Returns ``(head_j, head_far_deg, tail_j, tail_far_deg)`` each [U]:
+    the junction node id beyond each end (-1 if absent) and that
+    junction's degree on its FAR side (away from the unitig).
+    """
+    num_u = int(dbg_np.num_unitigs)
+    heads = np.asarray(dbg_np.unitig_head[:num_u])
+    tails = np.asarray(dbg_np.unitig_tail[:num_u])
+    nxt_id = np.asarray(dbg_np.state_next_id)     # [M, 2]
+    nxt_o = np.asarray(dbg_np.state_next_o)
+    ldeg = np.asarray(dbg_np.left_present).sum(1)
+    rdeg = np.asarray(dbg_np.right_present).sum(1)
+
+    def far(states):
+        """Continue past `states` rightward -> (junction id, far degree)."""
+        v, o = states >> 1, states & 1
+        j = nxt_id[v, o]
+        jo = nxt_o[v, o]
+        jc = np.clip(j, 0, len(ldeg) - 1)
+        # Arriving rightward, the junction's far side is its encountered
+        # right: canonical right when encountered forward, left otherwise.
+        fdeg = np.where(jo == 0, rdeg[jc], ldeg[jc])
+        fdeg = np.where(j >= 0, fdeg, 0)
+        return j, fdeg
+
+    # Beyond the tail: straight ahead.  Beyond the head: rightward from the
+    # flipped head state.
+    tail_j, tail_far = far(tails)
+    head_j, head_far = far(heads ^ 1)
+    return head_j, head_far, tail_j, tail_far
+
+
+def tip_mask(dbg_np, k: int, tip_max_len: int = 0) -> np.ndarray:
+    """[U] bool: unitigs to clip as tips."""
+    num_u = int(dbg_np.num_unitigs)
+    if num_u == 0:
+        return np.zeros(0, bool)
+    if tip_max_len <= 0:
+        tip_max_len = 2 * k
+    seq_len = np.asarray(dbg_np.unitig_len[:num_u]) + k - 1
+    circ = np.asarray(dbg_np.unitig_circular[:num_u])
+    head_j, head_far, tail_j, tail_far = endpoint_junctions(dbg_np)
+    dead_head = (head_j < 0) | (head_far == 0)
+    dead_tail = (tail_j < 0) | (tail_far == 0)
+    return ((dead_head ^ dead_tail) & (seq_len <= tip_max_len) & ~circ)
+
+
+def bubble_mask(dbg_np, ucov: np.ndarray, k: int,
+                len_ratio: float = 1.2) -> np.ndarray:
+    """[U] bool: unitigs to pop as bubble arms (keep best per group)."""
+    num_u = int(dbg_np.num_unitigs)
+    if num_u == 0:
+        return np.zeros(0, bool)
+    head_j, head_far, tail_j, tail_far = endpoint_junctions(dbg_np)
+    seq_len = np.asarray(dbg_np.unitig_len[:num_u]) + k - 1
+    circ = np.asarray(dbg_np.unitig_circular[:num_u])
+
+    a = np.minimum(head_j, tail_j)
+    b = np.maximum(head_j, tail_j)
+    valid = (head_j >= 0) & (tail_j >= 0) & ~circ & (a != b)
+    drop = np.zeros(num_u, bool)
+    groups = {}
+    for u in np.nonzero(valid)[0]:
+        groups.setdefault((int(a[u]), int(b[u])), []).append(int(u))
+    for (_, us) in groups.items():
+        if len(us) < 2:
+            continue
+        us = sorted(us, key=lambda u: (-ucov[u], u))
+        best = us[0]
+        for u in us[1:]:
+            lo, hi = sorted((seq_len[u], seq_len[best]))
+            if hi <= lo * len_ratio:
+                drop[u] = True
+    return drop
+
+
+def node_keep_mask(dbg_np, drop_unitigs: np.ndarray) -> np.ndarray:
+    """[M] bool node keep mask after dropping the flagged unitigs.
+
+    Every member node of a dropped unitig is deleted; bounding junctions
+    stay (re-contraction may absorb them into neighboring chains).
+    """
+    m = dbg_np.nodes.shape[0]
+    size = int(dbg_np.size)
+    keep = np.arange(m) < size
+    if drop_unitigs.size == 0 or not drop_unitigs.any():
+        return keep
+    uid = np.asarray(dbg_np.node_state_uid)  # [M, 2]
+    dropped = np.zeros(int(dbg_np.num_unitigs) + 1, bool)
+    dropped[: drop_unitigs.size] = drop_unitigs
+    member_dropped = dropped[np.clip(uid, 0, len(dropped) - 1)] & (uid >= 0)
+    keep &= ~member_dropped.any(axis=1)
+    return keep

@@ -192,10 +192,45 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         dbg, packed, valid_len, start, read_len,
         dev(batch.prev_base), dev(batch.next_base),
         seed_fw, has_seed, k=config.k)
+    log.write("count node coverage")
+
+    # ---- graph simplification rounds (tips / bubbles; new vs ref) ----
+    if config.clip_tips or config.pop_bubbles:
+        from platanus3_tpu.graph import simplify as simp_mod
+        for rnd in range(max(1, config.simplify_rounds)):
+            dbg_np = jax.tree.map(np.asarray, dbg)
+            num_u = int(dbg_np.num_unitigs)
+            drop = np.zeros(num_u, bool)
+            if config.clip_tips:
+                drop |= simp_mod.tip_mask(dbg_np, config.k,
+                                          config.tip_max_len)
+            if config.pop_bubbles:
+                ucov = simp_mod.unitig_coverage(
+                    dbg_np, np.asarray(cov.node_cov))
+                drop |= simp_mod.bubble_mask(dbg_np, ucov, config.k)
+            if not drop.any():
+                break
+            keep = simp_mod.node_keep_mask(dbg_np, drop)
+            kept_keys = np.asarray(dbg_np.nodes)[keep]
+            n_keep = kept_keys.shape[0]
+            cap2 = max(8, _next_pow2(n_keep))
+            pad = np.full((cap2 - n_keep, kept_keys.shape[1]),
+                          np.uint32(0xFFFFFFFF))
+            nodes = jnp.asarray(np.concatenate([kept_keys, pad]))
+            size = jnp.asarray(n_keep, jnp.int32)
+            # Rebuild with EXACT membership: after deletion the Bloom
+            # filter no longer describes the k-mer set.
+            dbg = _stage2(nodes, size, bf, k=config.k, use_exact=True)
+            cov, reach_jun, reach_uni, chars = _stage3(
+                dbg, packed, valid_len, start, read_len,
+                dev(batch.prev_base), dev(batch.next_base),
+                seed_fw, has_seed, k=config.k)
+            log.write(f"simplify round {rnd + 1}: dropped "
+                      f"{int(drop.sum())} unitigs, {n_keep} nodes left")
+
     if not config.restrict_to_seeds:
         reach_jun = jnp.ones_like(reach_jun)
         reach_uni = jnp.ones_like(reach_uni)
-    log.write("count node coverage")
 
     # ---- stage 4 (host): sequences + GFA ----
     dbg_np = jax.tree.map(np.asarray, dbg)
