@@ -68,6 +68,10 @@ class AssemblyConfig:
     log_path: str = "./platanus3.log"         # reference path,
                                               # src/Logging.cpp:11
 
+    # --- checkpoint / resume (new vs reference) ---
+    checkpoint_dir: str = ""        # "" = disabled; else stage outputs are
+                                    # cached and re-runs resume past them
+
     def auto_filter_bits(self, all_bases: int) -> tuple[int, int]:
         """Bloom sizing -> (bits, num_hashes).
 

@@ -135,7 +135,17 @@ def reads_from_strings(seqs: List[str], k: int, chunk_len: int) -> ReadBatch:
     return chunk_reads(kept, k, chunk_len)
 
 
-def load_reads(path: str, k: int, chunk_len: int) -> ReadBatch:
+def load_reads(path: str, k: int, chunk_len: int,
+               use_native: bool = True) -> ReadBatch:
+    """Load + pack a read file; prefers the C++ loader (native/) and falls
+    back to the numpy path (both implement the same contract)."""
+    if use_native:
+        ext = os.path.basename(path)[-5:]
+        if ext in ("fasta", "fastq"):
+            from platanus3_tpu import native
+            batch = native.load_reads_native(path, k, chunk_len)
+            if batch is not None:
+                return batch
     return reads_from_strings(parse_reads(path), k, chunk_len)
 
 

@@ -97,6 +97,11 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
 
+def hashlib_digest(arr) -> str:
+    import hashlib
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
+
+
 def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
              write_output: bool = True, mesh=None) -> AssemblyResult:
     """Assemble reads -> GFA.
@@ -152,7 +157,27 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     read_len = dev(batch.read_len)
 
     # ---- stage 1: count + solidity + Bloom + seeds ----
-    if mesh is not None:
+    ckpt = None
+    if config.checkpoint_dir:
+        from platanus3_tpu.utils.checkpoint import Checkpointer
+        ckpt = Checkpointer(
+            config.checkpoint_dir,
+            digest_parts=(config.k, config.short_k, config.cov_threshold,
+                          config.filter_policy, config.filter_bits,
+                          config.chunk_len, batch.num_reads,
+                          batch.all_bases,
+                          hashlib_digest(batch.packed)))
+    if ckpt is not None and ckpt.has("stage1"):
+        d = ckpt.load("stage1")
+        table = count_mod.KmerTable(
+            jnp.asarray(d["keys"]), jnp.asarray(d["counts"]),
+            jnp.asarray(d["size"]))
+        bf = bf._replace(bits=jnp.asarray(d["bloom_bits"]))
+        seed_fw = jnp.asarray(d["seed_fw"])
+        has_seed = jnp.asarray(d["has_seed"])
+        short_table = None
+        log.write("stage1 restored from checkpoint")
+    elif mesh is not None:
         from platanus3_tpu.parallel import sharded as sharded_mod
         arrays = sharded_mod.pad_batch_to_devices(
             (batch.packed, batch.valid_len, batch.read_id, batch.start,
@@ -172,14 +197,31 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
             k=config.k, short_k=min(config.short_k, config.k),
             cov_threshold=config.cov_threshold, num_reads=batch.num_reads)
     num_nodes = int(table.size)
+    if ckpt is not None and not ckpt.has("stage1"):
+        # Persist only the valid prefix of the table (cap is read-volume
+        # sized; the compaction below re-pads).
+        n_keep = max(num_nodes, 1)
+        ckpt.save("stage1",
+                  keys=np.asarray(table.keys[:n_keep]),
+                  counts=np.asarray(table.counts[:n_keep]),
+                  size=np.asarray(table.size),
+                  bloom_bits=np.asarray(bf.bits),
+                  seed_fw=np.asarray(seed_fw),
+                  has_seed=np.asarray(has_seed))
+        log.write("stage1 checkpoint saved")
     log.write(f"counted short kmer; bloom filter loaded; "
               f"solid nodes={num_nodes}")
     log.metric("seed kmer num", int(jnp.sum(has_seed)))
 
     # ---- compact node table to a power-of-two capacity ----
     cap = max(8, _next_pow2(num_nodes))
-    cap = min(cap, table.keys.shape[0]) if table.keys.shape[0] >= 8 else cap
-    nodes = table.keys[:cap]
+    rows, lanes = table.keys.shape
+    if cap <= rows:
+        nodes = table.keys[:cap]
+    else:  # restored checkpoint stores only the valid prefix
+        pad = jnp.full((cap - rows, lanes), np.uint32(0xFFFFFFFF),
+                       dtype=jnp.uint32)
+        nodes = jnp.concatenate([table.keys, pad], axis=0)
     size = jnp.asarray(num_nodes, jnp.int32)
 
     # ---- stage 2: graph ----
