@@ -9,13 +9,33 @@ is (TPU under the driver; CPU elsewhere).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
+def _ensure_backend():
+    """The tunneled TPU backend admits one process at a time and releases
+    its grant lazily; if registration failed at interpreter startup,
+    re-exec this process until the chip is free (bounded)."""
+    import jax
+    try:
+        jax.devices()
+        return
+    except RuntimeError:
+        tries = int(os.environ.get("P3_BENCH_RETRY", "0"))
+        if tries >= 20:
+            raise
+        os.environ["P3_BENCH_RETRY"] = str(tries + 1)
+        time.sleep(45)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
+    _ensure_backend()
     import jax.numpy as jnp
     from platanus3_tpu.config import AssemblyConfig
     from platanus3_tpu.io import reads as reads_mod
