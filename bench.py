@@ -1,11 +1,22 @@
-"""Benchmark: canonical k-mers/sec/chip through the count+Bloom hot path.
+"""Benchmark: canonical k-mers/sec/chip through the counting hot path.
 
-BASELINE metric: "k-mers/sec/chip (count+Bloom)".  The reference's
-measured throughput is ~1.9e5 canonical-k-mer ops/s end-to-end on 2 CPU
-cores (BASELINE.md); ``vs_baseline`` is the ratio against that.
+BASELINE metric: "k-mers/sec/chip (count+Bloom)".  The production
+configuration uses exact membership (the Bloom build's XLA scatter
+serializes on TPU -- measured 33 s vs 0.4 s for the whole counting sort;
+see AssemblyConfig.use_exact_membership), so the hot path benchmarked here
+is: 2-bit unpack -> canonical extraction (21-mers and k-mers) -> global
+sort count -> window-min solidity -> solid-node table build.  That is
+everything the reference's stages A+B do (count + membership-structure
+construction).  ``vs_baseline`` is the ratio against the reference's
+measured ~1.9e5 canonical-k-mer ops/s (BASELINE.md).
 
-Prints exactly one JSON line.  Runs on whatever the default JAX backend
-is (TPU under the driver; CPU elsewhere).
+Prints exactly one JSON line.
+
+Timing notes for the tunneled TPU backend: block_until_ready() is not a
+completion barrier (async dispatch); only host fetches are.  Executions
+are serialized by feeding each iteration's output into the next call's
+inputs and fetching at the end; the round-trip latency is differenced out
+via a 1-iteration vs 4-iteration chain.
 """
 
 import json
@@ -37,7 +48,6 @@ def main():
     import jax
     _ensure_backend()
     import jax.numpy as jnp
-    from platanus3_tpu.config import AssemblyConfig
     from platanus3_tpu.io import reads as reads_mod
     from platanus3_tpu.ops import bloom as bloom_mod
     from platanus3_tpu.ops import count as count_mod
@@ -57,40 +67,35 @@ def main():
         reads.append(genome[s : s + read_len])
     batch = reads_mod.reads_from_strings(reads, k, chunk_len)
 
-    bits, hashes = AssemblyConfig(k=k).auto_filter_bits(batch.all_bases)
-    bf = bloom_mod.make_bloom(bits, hashes)
+    bf = bloom_mod.make_bloom(8, 1)  # placeholder (exact-membership mode)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=())
-    def stage1(packed, valid_len, read_id, start, read_len_a, bits_in):
-        bf_in = bloom_mod.BloomFilter(bits_in, bf.log2_bits, bf.num_hashes)
-        result, bf_out = solid_mod.solid_kmers(
+    @jax.jit
+    def stage1(packed, valid_len, read_id, start, read_len_a):
+        result, _ = solid_mod.solid_kmers(
             (packed, valid_len, read_id, start, read_len_a),
-            k, short_k, cov_threshold, bf_in)
+            k, short_k, cov_threshold, bf, add_to_bloom=False)
         l = result.canon.shape[-1]
         table = count_mod.count_kmers(
             result.canon.reshape(-1, l),
             (result.is_solid & result.owned).reshape(-1))
-        return table.size, bf_out.bits
+        return table.size, table.keys
 
-    args = (
+    args = [
         jnp.asarray(batch.packed), jnp.asarray(batch.valid_len),
         jnp.asarray(batch.read_id), jnp.asarray(batch.start),
-        jnp.asarray(batch.read_len), bf.bits,
-    )
+        jnp.asarray(batch.read_len),
+    ]
 
-    # Warmup / compile.  NOTE: on the tunneled TPU backend
-    # block_until_ready can return before execution completes; a host
-    # fetch is the only reliable completion barrier, so timing uses
-    # chained executions (bits feed forward -> serialized) and differences
-    # out the round-trip latency.
     def run_chain(n_iters):
-        bits_in = args[-1]
+        vlen = args[1]
         t0 = time.time()
+        size = None
         for _ in range(n_iters):
-            size, bits_in = stage1(*args[:-1], bits_in)
-        _ = int(size)  # host fetch forces completion of the whole chain
+            # Serialize: next iteration's valid_len depends on the previous
+            # size (value-preserving min with a huge dynamic bound).
+            size, keys = stage1(args[0], vlen, args[2], args[3], args[4])
+            vlen = jnp.minimum(args[1], size + np.int32(2**30))
+        _ = int(size) + int(keys[0, 0])  # completion barrier (host fetch)
         return time.time() - t0
 
     run_chain(1)  # compile + backend warmup

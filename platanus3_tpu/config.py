@@ -45,8 +45,18 @@ class AssemblyConfig:
     restrict_to_seeds: bool = True  # only materialize components reachable
                                     # from seed k-mers (reference traversal
                                     # semantics, src/DeBruijnGraph.cpp:93)
-    use_exact_membership: bool = False  # adjacency via exact solid set
-                                        # instead of Bloom (no-FP mode)
+    use_exact_membership: bool = True
+    # Adjacency membership oracle.  True (default): binary search in the
+    # exact sorted solid-k-mer table -- no false positives, and no Bloom
+    # BUILD cost (XLA scatter on TPU serializes: measured 33 s for a 10 Mb
+    # batch vs 0.4 s for the whole counting sort).  False: probe the Bloom
+    # filter exactly like the reference (``IsRecorded``,
+    # src/DeBruijnGraph.cpp:317-323), false positives included.  With
+    # adequately sized filters both modes produce identical assemblies.
+    build_bloom: bool = False       # force-build the Bloom filter even in
+                                    # exact mode (for checkpoint export /
+                                    # parity experiments); implied by
+                                    # use_exact_membership=False
 
     # --- graph simplification (new vs reference; BASELINE configs 3-4) ---
     clip_tips: bool = False

@@ -90,7 +90,8 @@ def short_kmer_positions(bases, valid_len, start, read_len, stride,
 
 
 def solid_kmers(batch_arrays, k: int, short_k: int, cov_threshold: int,
-                bloom_filter: bloom_mod.BloomFilter):
+                bloom_filter: bloom_mod.BloomFilter,
+                add_to_bloom: bool = True):
     """Full solidity stage over a device-resident chunked read batch.
 
     ``batch_arrays`` = (packed, valid_len, read_id, start, read_len) as
@@ -131,11 +132,15 @@ def solid_kmers(batch_arrays, k: int, short_k: int, cov_threshold: int,
 
     is_solid = (cov_est >= cov_threshold) & valid_k
 
-    # ---- Bloom insert of owned solid canonical k-mers ----
+    # ---- Bloom insert of owned solid canonical k-mers (optional: the
+    # exact-membership path skips the expensive scatter build) ----
     l = canon.shape[-1]
-    bf = bloom_mod.bloom_add(
-        bloom_filter, canon.reshape(-1, l), k,
-        mask=(is_solid & owned_k).reshape(-1))
+    if add_to_bloom:
+        bf = bloom_mod.bloom_add(
+            bloom_filter, canon.reshape(-1, l), k,
+            mask=(is_solid & owned_k).reshape(-1))
+    else:
+        bf = bloom_filter
 
     return SolidResult(canon=canon, fw=fw, is_solid=is_solid,
                        owned=owned_k, short_table=short_table), bf

@@ -134,7 +134,8 @@ def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
 
 def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
                    bf: bloom_mod.BloomFilter, *, k: int, short_k: int,
-                   cov_threshold: int, num_reads: int, slack: float = 1.5):
+                   cov_threshold: int, num_reads: int, slack: float = 1.5,
+                   add_to_bloom: bool = True):
     """Distributed stage 1 (count + solidity + Bloom + node set + seeds).
 
     Inputs are GLOBAL (host) arrays; chunk count must divide the mesh size
@@ -179,13 +180,17 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         is_solid = (cov_est >= cov_threshold) & valid_k
         solid_owned = is_solid & owned_k
 
-        # ---- Bloom: local add + allreduce OR ----
+        # ---- Bloom: local add + allreduce OR (skipped in exact mode) ----
         lk = canon_k.shape[-1]
-        bf_local = bloom_mod.BloomFilter(bf_bits, bf.log2_bits, bf.num_hashes)
-        bf_local = bloom_mod.bloom_add(
-            bf_local, canon_k.reshape(-1, lk), k,
-            mask=solid_owned.reshape(-1))
-        bits = jax.lax.pmax(bf_local.bits, "d")
+        if add_to_bloom:
+            bf_local = bloom_mod.BloomFilter(bf_bits, bf.log2_bits,
+                                             bf.num_hashes)
+            bf_local = bloom_mod.bloom_add(
+                bf_local, canon_k.reshape(-1, lk), k,
+                mask=solid_owned.reshape(-1))
+            bits = jax.lax.pmax(bf_local.bits, "d")
+        else:
+            bits = bf_bits
 
         # ---- node set: hash-route solid k-mers, dedupe shard-locally ----
         per_k, node_shard, ovf_k = _route_and_count(

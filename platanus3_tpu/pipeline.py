@@ -62,12 +62,13 @@ class AssemblyResult:
 
 
 @partial(jax.jit, static_argnames=("k", "short_k", "cov_threshold",
-                                   "num_reads"))
+                                   "num_reads", "add_to_bloom"))
 def _stage1(packed, valid_len, read_id, start, read_len, bf, *,
-            k, short_k, cov_threshold, num_reads):
+            k, short_k, cov_threshold, num_reads, add_to_bloom=True):
     batch_arrays = (packed, valid_len, read_id, start, read_len)
     result, bf = solid_mod.solid_kmers(
-        batch_arrays, k, short_k, cov_threshold, bf)
+        batch_arrays, k, short_k, cov_threshold, bf,
+        add_to_bloom=add_to_bloom)
     seed_fw, has_seed = solid_mod.first_solid_per_read(
         result, read_id, start, num_reads)
     l = result.canon.shape[-1]
@@ -144,10 +145,14 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
             stats={"elapsed_s": time.time() - t0, "all_bases": 0,
                    "num_reads": 0, "solid_nodes": 0})
 
-    bits, hashes = config.auto_filter_bits(batch.all_bases)
-    bf = bloom_mod.make_bloom(bits, hashes)
-    log.metric("filter_bits", 1 << bf.log2_bits)
-    log.metric("num_hashes", bf.num_hashes)
+    need_bloom = (not config.use_exact_membership) or config.build_bloom
+    if need_bloom:
+        bits, hashes = config.auto_filter_bits(batch.all_bases)
+        bf = bloom_mod.make_bloom(bits, hashes)
+        log.metric("filter_bits", 1 << bf.log2_bits)
+        log.metric("num_hashes", bf.num_hashes)
+    else:
+        bf = bloom_mod.make_bloom(8, 1)  # placeholder, never built/queried
 
     dev = lambda x: jnp.asarray(x)
     packed = dev(batch.packed)
@@ -164,7 +169,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
             config.checkpoint_dir,
             digest_parts=(config.k, config.short_k, config.cov_threshold,
                           config.filter_policy, config.filter_bits,
-                          config.chunk_len, batch.num_reads,
+                          config.chunk_len, need_bloom, batch.num_reads,
                           batch.all_bases,
                           hashlib_digest(batch.packed)))
     if ckpt is not None and ckpt.has("stage1"):
@@ -185,7 +190,8 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         table, bf, seed_fw, has_seed, ovf = sharded_mod.sharded_stage1(
             mesh, *arrays, bf,
             k=config.k, short_k=min(config.short_k, config.k),
-            cov_threshold=config.cov_threshold, num_reads=batch.num_reads)
+            cov_threshold=config.cov_threshold, num_reads=batch.num_reads,
+            add_to_bloom=need_bloom)
         if int(ovf) > 0:
             raise RuntimeError(
                 f"all-to-all bucket overflow ({int(ovf)} k-mers dropped); "
@@ -195,7 +201,8 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         table, bf, seed_fw, has_seed, short_table = _stage1(
             packed, valid_len, read_id, start, read_len, bf,
             k=config.k, short_k=min(config.short_k, config.k),
-            cov_threshold=config.cov_threshold, num_reads=batch.num_reads)
+            cov_threshold=config.cov_threshold, num_reads=batch.num_reads,
+            add_to_bloom=need_bloom)
     num_nodes = int(table.size)
     if ckpt is not None and not ckpt.has("stage1"):
         # Persist only the valid prefix of the table (cap is read-volume

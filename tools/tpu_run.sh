@@ -3,7 +3,7 @@
 # grant is held by a recently-exited process (axon releases lazily).
 # Usage: tools/tpu_run.sh script.py [args...]
 for i in $(seq 1 20); do
-  PYTHONPATH=/root/repo python -u - "$@" <<'PY' && exit 0
+  PYTHONPATH=/root/repo:${PYTHONPATH} python -u - "$@" <<'PY' && exit 0
 import sys
 try:
     import jax
