@@ -117,31 +117,38 @@ jax.tree_util.register_pytree_node(
 
 
 def _neighbor_info(nodes, size, k, bf, use_exact):
-    """Membership/id/orientation of all 8 neighbors of every node."""
+    """Membership/id/orientation of all 8 neighbors of every node.
+
+    All 8*M neighbor canonical forms are resolved against the node table
+    with ONE sort-join (``lookup_id_join``) instead of 8 binary searches
+    -- the neighbor-resolution analog of ``CheckDirections``'s 8 Bloom
+    probes (reference ``src/DeBruijnGraph.cpp:325-345``) but batched over
+    every node at once.
+    """
     m, l = nodes.shape
     row_valid = jnp.arange(m) < size
+    table = count_mod.KmerTable(nodes, jnp.zeros((m,), jnp.int32), size)
 
-    def side(shift_fn):
-        cforms, isfw, ids, present = [], [], [], []
+    canons, isfws = [], []
+    for shift_fn in (kmer_mod.shift_in_left, kmer_mod.shift_in_right):
         for b in range(4):
             u = shift_fn(nodes, np.uint32(b), k)
             canon, u_isfw = kmer_mod.canonical(u, k)
-            nid = count_mod.lookup_id(
-                count_mod.KmerTable(nodes, jnp.zeros((m,), jnp.int32), size),
-                canon)
-            if use_exact:
-                pres = nid >= 0
-            else:
-                pres = bloom_mod.bloom_query(bf, canon, k)
-            cforms.append(canon)
-            isfw.append(u_isfw)
-            ids.append(nid)
-            present.append(pres & row_valid)
-        return (jnp.stack(present, axis=1), jnp.stack(ids, axis=1),
-                jnp.stack(isfw, axis=1))
+            canons.append(canon)
+            isfws.append(u_isfw)
+    all_canon = jnp.stack(canons, axis=1)      # [M, 8, L]
+    all_isfw = jnp.stack(isfws, axis=1)        # [M, 8]
+    nid = count_mod.lookup_id_join(
+        table, all_canon.reshape(-1, l)).reshape(m, 8)
+    if use_exact:
+        pres = nid >= 0
+    else:
+        pres = bloom_mod.bloom_query(bf, all_canon, k)
+    pres = pres & row_valid[:, None]
 
-    lp, lid, lfw = side(kmer_mod.shift_in_left)
-    rp, rid, rfw = side(kmer_mod.shift_in_right)
+    lp, rp = pres[:, :4], pres[:, 4:]
+    lid, rid = nid[:, :4], nid[:, 4:]
+    lfw, rfw = all_isfw[:, :4], all_isfw[:, 4:]
     return lp, lid, lfw, rp, rid, rfw
 
 

@@ -80,7 +80,8 @@ def count_coverage(dbg: DBG, k: int, bases, valid_len, start, read_len,
 
     table = count_mod.KmerTable(dbg.nodes, jnp.zeros((m,), jnp.int32),
                                 dbg.size)
-    nid = count_mod.lookup_id(table, canon.reshape(-1, l)).reshape(c, pk)
+    nid = count_mod.lookup_id_join(
+        table, canon.reshape(-1, l)).reshape(c, pk)
     hit = owned & (nid >= 0)
     pal = kmer_mod.is_palindrome(canon, k)
 

@@ -194,6 +194,55 @@ def lookup_id(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(hit, pos_c, -1)
 
 
+def lookup_id_join(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+    """Row index of each query in the table (-1 absent), via SORT-JOIN.
+
+    TPU-native alternative to the binary search in :func:`lookup_id`: the
+    per-round gathers of a 20-round binary search are random-access and
+    slow at tens of millions of queries; one stable multi-key sort of
+    (table keys ++ queries) followed by segment-first propagation does the
+    same join in a single sort pass.  Within each equal-key segment the
+    table row (unique) sorts FIRST (is_query is the last sort key), so the
+    answer for every query is the id carried by its segment's first row.
+
+    Also immune to the 0xFF..FF padding-collision edge: table pad rows
+    carry an invalid flag that is part of the sort key, so a query whose
+    bit pattern equals the padding never joins to it.
+    """
+    m, l = table.keys.shape
+    q = queries.shape[0]
+    n = m + q
+    row = jnp.arange(m, dtype=jnp.int32)
+    pad_invalid = (row >= table.size).astype(jnp.uint32)
+    keys = jnp.concatenate([table.keys, queries], axis=0)
+    invalid = jnp.concatenate(
+        [pad_invalid, jnp.zeros((q,), jnp.uint32)])
+    is_query = jnp.concatenate(
+        [jnp.zeros((m,), jnp.uint32), jnp.ones((q,), jnp.uint32)])
+    ids = jnp.concatenate([row, jnp.full((q,), np.int32(-1))])
+    qidx = jnp.concatenate([jnp.full((m,), np.int32(-1)),
+                            jnp.arange(q, dtype=jnp.int32)])
+
+    ops = ([invalid] + [keys[:, j] for j in range(l)] + [is_query, ids, qidx])
+    out = jax.lax.sort(tuple(ops), num_keys=l + 2, is_stable=False)
+    s_inv = out[0]
+    s_lanes = out[1 : l + 1]
+    s_isq, s_ids, s_qidx = out[l + 1], out[l + 2], out[l + 3]
+
+    diff = s_inv[1:] != s_inv[:-1]
+    for j in range(l):
+        diff = diff | (s_lanes[j][1:] != s_lanes[j][:-1])
+    is_first = jnp.concatenate([jnp.ones((1,), bool), diff])
+    # Index of each row's segment start (monotone cummax trick).
+    seg_start = jax.lax.cummax(
+        jnp.where(is_first, jnp.arange(n, dtype=jnp.int32), 0))
+    candidate = s_ids[seg_start]          # -1 when segment has no table row
+    out_ids = jnp.full((q,), np.int32(-1))
+    out_ids = out_ids.at[jnp.where(s_isq > 0, s_qidx, q)].set(
+        candidate, mode="drop")
+    return out_ids
+
+
 def merge_tables(a: KmerTable, b: KmerTable) -> KmerTable:
     """Merge two count tables (concat -> sort -> segment-sum).
 

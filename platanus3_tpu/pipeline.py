@@ -46,6 +46,18 @@ from platanus3_tpu.utils.logging import PipelineLog
 
 __all__ = ["assemble", "AssemblyResult"]
 
+# Persistent compilation cache: shape-dependent XLA compiles at genome
+# scale run minutes; cache them across processes.  Harmless no-op if the
+# backend doesn't support serialization.
+try:  # pragma: no cover
+    import os as _os
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                      "/root/.cache/jax_p3"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 
 @dataclasses.dataclass
 class AssemblyResult:

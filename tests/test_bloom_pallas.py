@@ -1,0 +1,67 @@
+"""Pallas packed-Bloom kernel vs the XLA byte-per-bit reference path.
+
+Both paths share the probe math (ops/hashing.py), so for identical
+(log2_bits, num_hashes) the packed kernel's membership answers must be
+IDENTICAL to ops/bloom.py's -- same bits set, FPs included.  Runs in
+interpret mode on CPU; the compiled path is exercised on real TPU by
+the benchmark tooling.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from platanus3_tpu.constants import BASES
+from platanus3_tpu.ops import bloom as B
+from platanus3_tpu.ops import bloom_pallas as BP
+from platanus3_tpu.ops import kmer as K
+
+RNG = np.random.default_rng(71)
+
+
+def canon_batch(n, k):
+    strs = ["".join(RNG.choice(list(BASES), size=k)) for _ in range(n)]
+    canon, _ = K.canonical(jnp.asarray(K.encode_kmers_np(strs)), k)
+    return canon
+
+
+@pytest.mark.parametrize("k,log2_bits,hashes", [(25, 18, 6), (32, 20, 10)])
+def test_packed_matches_bytewise(k, log2_bits, hashes):
+    canon = canon_batch(3000, k)
+    mask = jnp.asarray(RNG.random(3000) < 0.8)
+
+    words = BP.build_packed_bloom(canon, k, mask, log2_bits, hashes,
+                                  interpret=True)
+
+    bf = B.make_bloom(1 << log2_bits, hashes)
+    bf = B.bloom_add(bf, canon, k, mask=mask)
+
+    # Bit-identical filters.
+    u8 = np.asarray(bf.bits).reshape(-1, 32)
+    packed_ref = (u8.astype(np.uint32)
+                  << np.arange(32, dtype=np.uint32)).sum(axis=1,
+                                                         dtype=np.uint32)
+    assert np.array_equal(packed_ref, np.asarray(words))
+
+    # Identical query answers on members and random probes.
+    probes = canon_batch(2000, k)
+    got = np.asarray(BP.query_packed(words, probes, k, log2_bits, hashes))
+    want = np.asarray(B.bloom_query(bf, probes, k))
+    assert np.array_equal(got, want)
+    got_m = np.asarray(BP.query_packed(words, canon, k, log2_bits, hashes))
+    want_m = np.asarray(B.bloom_query(bf, canon, k))
+    assert np.array_equal(got_m, want_m)
+    assert got_m[np.asarray(mask)].all()  # no false negatives
+
+
+def test_packed_block_boundaries():
+    # Filter larger than one kernel block (BLOCK_WORDS) exercises the
+    # grid path and block-boundary routing.
+    k = 25
+    canon = canon_batch(4000, k)
+    mask = jnp.ones((4000,), bool)
+    log2_bits = 23  # 2^23 bits = 262144 words = 2 blocks of 2^17
+    words = BP.build_packed_bloom(canon, k, mask, log2_bits, 8,
+                                  interpret=True)
+    q = np.asarray(BP.query_packed(words, canon, k, log2_bits, 8))
+    assert q.all()
