@@ -243,6 +243,27 @@ def lookup_id_join(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
     return out_ids
 
 
+def lookup_join(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+    """Counts for each query (0 when absent), via sort-join (see
+    :func:`lookup_id_join`)."""
+    ids = lookup_id_join(table, queries)
+    idc = jnp.clip(ids, 0, table.keys.shape[0] - 1)
+    return jnp.where(ids >= 0, table.counts[idc], 0)
+
+
+def merge_into(dst: KmerTable, src: KmerTable, cap: int) -> KmerTable:
+    """Merge ``src`` into ``dst`` keeping a FIXED capacity ``cap``.
+
+    Streaming accumulation: static shapes mean one XLA compile no matter
+    how many batches are merged.  Returns the merged table truncated to
+    ``cap`` rows; the caller must check ``size <= cap`` (overflow means
+    the unique-k-mer estimate was too low -- counts would silently drop).
+    """
+    merged = merge_tables(dst, src)
+    return KmerTable(keys=merged.keys[:cap], counts=merged.counts[:cap],
+                     size=merged.size)
+
+
 def merge_tables(a: KmerTable, b: KmerTable) -> KmerTable:
     """Merge two count tables (concat -> sort -> segment-sum).
 

@@ -1,0 +1,58 @@
+"""Streaming (bounded-memory) mode must reproduce the single-shot
+pipeline bit for bit."""
+
+import numpy as np
+
+from platanus3_tpu.config import AssemblyConfig
+from platanus3_tpu.constants import BASES
+from platanus3_tpu.pipeline import assemble
+from platanus3_tpu.streaming import assemble_streaming
+
+RNG = np.random.default_rng(83)
+
+
+def rand_genome(n, rng=RNG):
+    return "".join(rng.choice(list(BASES), size=n))
+
+
+def tiled_reads(genome, read_len, step):
+    return [genome[s : s + read_len]
+            for s in range(0, len(genome) - read_len + 1, step)]
+
+
+def cfg(**kw):
+    kw.setdefault("chunk_len", 256)
+    kw.setdefault("log_path", None)
+    return AssemblyConfig(k=25, **kw)
+
+
+def test_streaming_equals_single_shot():
+    genome = rand_genome(4000)
+    reads = tiled_reads(genome, 300, 60)
+    single = assemble(reads, cfg(), write_output=False)
+    # Tiny slices force many merge rounds.
+    multi = assemble_streaming(reads, cfg(), write_output=False,
+                               slice_chunks=16)
+    assert single.gfa_lines == multi.gfa_lines
+    assert single.num_nodes == multi.num_nodes
+
+
+def test_streaming_repeat_genome():
+    rng = np.random.default_rng(87)
+    rep = rand_genome(120, rng)
+    genome = (rand_genome(700, rng) + rep + rand_genome(700, rng) + rep
+              + rand_genome(700, rng))
+    reads = tiled_reads(genome, 180, 35)
+    single = assemble(reads, cfg(chunk_len=512), write_output=False)
+    multi = assemble_streaming(reads, cfg(chunk_len=512),
+                               write_output=False, slice_chunks=8)
+    assert single.gfa_lines == multi.gfa_lines
+
+
+def test_streaming_cap_overflow_raises():
+    genome = rand_genome(3000)
+    reads = tiled_reads(genome, 300, 60)
+    import pytest
+    with pytest.raises(RuntimeError, match="short_cap"):
+        assemble_streaming(reads, cfg(), write_output=False,
+                           slice_chunks=16, short_cap=64)
