@@ -1,0 +1,61 @@
+"""1 Mb golden + perf vs reference at k=25 (supported by ref), stage timing."""
+import subprocess, time, os
+import numpy as np
+from collections import Counter
+def p(*a): print(*a, flush=True)
+import jax
+from platanus3_tpu.config import AssemblyConfig
+from platanus3_tpu.pipeline import assemble
+from platanus3_tpu.utils.logging import PipelineLog
+from platanus3_tpu.constants import canonical_str
+p("backend:", jax.default_backend())
+
+GLEN = int(os.environ.get("GLEN", "1000000"))
+rng = np.random.default_rng(99)
+genome = "".join(rng.choice(list("ACGT"), size=GLEN))
+reads = [genome[s:s+8000] for s in range(0, GLEN-8000+1, 400)]
+nbases = sum(len(r) for r in reads)
+p(f"genome {GLEN}, {len(reads)} reads, {nbases} bases")
+
+k = 25
+m_bits = 1 << 30
+
+log = PipelineLog(None, echo=True)
+t0 = time.time()
+cfg = AssemblyConfig(k=k, filter_bits=m_bits, chunk_len=4096, log_path=None,
+                     gfa_path="/tmp/p3bench/ours.gfa")
+res = assemble(reads, cfg, write_output=True, log=log)
+t_ours = time.time() - t0
+p(f"OURS total: {t_ours:.1f}s  ({nbases/t_ours/1e6:.2f} Mbases/s)")
+
+# second run (warm compile cache) to split compile vs compute
+log2 = PipelineLog(None, echo=False)
+t0 = time.time()
+res2 = assemble(reads, cfg, write_output=False, log=log2)
+t_warm = time.time() - t0
+p(f"OURS warm: {t_warm:.1f}s  ({nbases/t_warm/1e6:.2f} Mbases/s)")
+
+os.makedirs("/tmp/p3bench/refrun", exist_ok=True)
+fasta = "/tmp/p3bench/refrun/reads.fasta"
+if not os.path.exists(fasta):
+    with open(fasta, "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f">r{i}\n{s}\n")
+t0 = time.time()
+subprocess.run(["/tmp/refbuild/platanus3", "-i", fasta, "-k", str(k),
+                "-m", str(m_bits), "-t", "4"],
+               cwd="/tmp/p3bench/refrun", check=True, capture_output=True, timeout=7200)
+t_ref = time.time() - t0
+p(f"reference: {t_ref:.1f}s")
+
+def parse(path):
+    S, J = Counter(), Counter()
+    for ln in open(path):
+        f = ln.rstrip("\n").split("\t")
+        if f[0] == "S":
+            (S if f[1].startswith("Straight") else J)[canonical_str(f[2])] += 1
+    return S, J
+oS, oJ = parse("/tmp/p3bench/ours.gfa"); rS, rJ = parse("/tmp/p3bench/refrun/de_bruijn_graph.gfa")
+p("straights equal:", oS == rS, len(oS), len(rS))
+p("junctions equal:", oJ == rJ, len(oJ), len(rJ))
+p(f"SPEEDUP cold: {t_ref/t_ours:.1f}x   warm: {t_ref/t_warm:.1f}x")
