@@ -223,6 +223,17 @@ def shift_in_left(kmers: jnp.ndarray, base: jnp.ndarray, k: int) -> jnp.ndarray:
     )
 
 
+def base_at(kmers: jnp.ndarray, j: int, k: int) -> jnp.ndarray:
+    """2-bit code of base ``j`` (0 = leftmost) of packed k-mers.
+
+    Static ``j``: the low-aligned layout places bit position ``2*(k-1-j)``
+    in lane ``L-1 - q//32`` at offset ``q%32``.
+    """
+    q = 2 * (k - 1 - j)
+    lane = num_lanes(k) - 1 - q // 32
+    return (kmers[..., lane] >> np.uint32(q % 32)) & np.uint32(3)
+
+
 def first_base(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     """2-bit code of the first (leftmost / most significant) base."""
     return (kmers[..., 0] >> (_top_lane_bits(k) - 2)) & np.uint32(3)

@@ -110,6 +110,32 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
 
+def _emit_output(dbg, cov, reach_jun, reach_uni, chars, k):
+    """Stage 4: build compact emission packs on device, render GFA on
+    host.  Transfer is proportional to output size (graph/emit.py)."""
+    from platanus3_tpu.graph import emit as emit_mod
+
+    num_u = int(dbg.num_unitigs)
+    n_jun = int(jnp.sum(dbg.is_junction_final & reach_jun))
+    m = dbg.nodes.shape[0]
+    ucap = max(1, _next_pow2(max(num_u, 1)))
+    total_chars = int(jnp.sum(dbg.unitig_len[:ucap])) + num_u * (k - 1)
+    char_cap = max(8, _next_pow2(total_chars + 1))
+    jun_cap = max(1, _next_pow2(max(n_jun, 1)))
+
+    seq_pack = emit_mod.materialize_sequences(
+        dbg, chars, k=k, ucap=ucap, char_cap=char_cap)
+    jun_pack = emit_mod.pack_junctions(dbg, cov, reach_jun,
+                                       jun_cap=jun_cap)
+    seq_np = jax.tree.map(np.asarray, seq_pack)
+    jun_np = jax.tree.map(np.asarray, jun_pack)
+    seqs = gfa_mod.sequences_from_pack(seq_np, num_u, k)
+    lines = gfa_mod.gfa_lines(jun_np, seq_np,
+                              np.asarray(reach_uni[:max(ucap, 1)]),
+                              num_u, m, k, seqs=seqs)
+    return seqs, lines
+
+
 def hashlib_digest(arr) -> str:
     import hashlib
     return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
@@ -293,13 +319,9 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         reach_jun = jnp.ones_like(reach_jun)
         reach_uni = jnp.ones_like(reach_uni)
 
-    # ---- stage 4 (host): sequences + GFA ----
-    dbg_np = jax.tree.map(np.asarray, dbg)
-    cov_np = jax.tree.map(np.asarray, cov)
-    seqs = seq_mod.unitig_sequences(dbg_np, np.asarray(chars), config.k)
-    lines = gfa_mod.gfa_lines(dbg_np, cov_np, seqs,
-                              np.asarray(reach_jun), np.asarray(reach_uni),
-                              config.k)
+    # ---- stage 4: device emission packs -> host GFA rendering ----
+    seqs, lines = _emit_output(dbg, cov, reach_jun, reach_uni, chars,
+                               config.k)
     if write_output:
         with open(config.gfa_path, "w") as f:
             f.write("\n".join(lines) + "\n")

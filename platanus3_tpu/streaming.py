@@ -254,12 +254,9 @@ def assemble_streaming(source, config: AssemblyConfig,
         reach_uni = jnp.ones_like(reach_uni)
     log.write("[streaming] coverage done")
 
-    # ---- host output ----
-    dbg_np = jax.tree.map(np.asarray, dbg)
-    cov_np = jax.tree.map(np.asarray, cov)
-    seqs = seq_mod.unitig_sequences(dbg_np, np.asarray(chars), k)
-    lines = gfa_mod.gfa_lines(dbg_np, cov_np, seqs, np.asarray(reach_jun),
-                              np.asarray(reach_uni), k)
+    # ---- host output (compact device packs) ----
+    from platanus3_tpu.pipeline import _emit_output
+    seqs, lines = _emit_output(dbg, cov, reach_jun, reach_uni, chars, k)
     if write_output:
         with open(config.gfa_path, "w") as f:
             f.write("\n".join(lines) + "\n")
