@@ -50,6 +50,10 @@ class SolidResult(NamedTuple):
     owned:      ``[C, Pk] bool``       position owned by this chunk (each
                                        global read position owned once)
     short_table: KmerTable of exact canonical short-k counts
+    cov_est:    ``[C, Pk] int32``      window-min coverage estimate per
+                                       position (threshold-independent; lets
+                                       a threshold sweep reuse one stage-1
+                                       pass, BASELINE config 2)
     """
 
     canon: jnp.ndarray
@@ -57,6 +61,7 @@ class SolidResult(NamedTuple):
     is_solid: jnp.ndarray
     owned: jnp.ndarray
     short_table: count_mod.KmerTable
+    cov_est: jnp.ndarray
 
 
 def owned_mask(start, read_len, stride, p, kk, k):
@@ -143,7 +148,8 @@ def solid_kmers(batch_arrays, k: int, short_k: int, cov_threshold: int,
         bf = bloom_filter
 
     return SolidResult(canon=canon, fw=fw, is_solid=is_solid,
-                       owned=owned_k, short_table=short_table), bf
+                       owned=owned_k, short_table=short_table,
+                       cov_est=cov_est), bf
 
 
 def first_solid_per_read(result: SolidResult, read_id, start, num_reads: int):

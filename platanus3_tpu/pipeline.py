@@ -73,10 +73,12 @@ class AssemblyResult:
     stats: dict
 
 
-@partial(jax.jit, static_argnames=("k", "short_k", "cov_threshold",
+@partial(jax.jit, static_argnames=("k", "short_k",
                                    "num_reads", "add_to_bloom"))
-def _stage1(packed, valid_len, read_id, start, read_len, bf, *,
-            k, short_k, cov_threshold, num_reads, add_to_bloom=True):
+def _stage1(packed, valid_len, read_id, start, read_len, bf, cov_threshold, *,
+            k, short_k, num_reads, add_to_bloom=True):
+    # cov_threshold is a TRACED scalar: a threshold sweep (sweep.py) or a
+    # re-run at a different solidity cutoff reuses the same executable.
     batch_arrays = (packed, valid_len, read_id, start, read_len)
     result, bf = solid_mod.solid_kmers(
         batch_arrays, k, short_k, cov_threshold, bf,
@@ -238,9 +240,9 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     else:
         table, bf, seed_fw, has_seed, short_table = _stage1(
             packed, valid_len, read_id, start, read_len, bf,
+            jnp.asarray(config.cov_threshold, jnp.int32),
             k=config.k, short_k=min(config.short_k, config.k),
-            cov_threshold=config.cov_threshold, num_reads=batch.num_reads,
-            add_to_bloom=need_bloom)
+            num_reads=batch.num_reads, add_to_bloom=need_bloom)
     num_nodes = int(table.size)
     if ckpt is not None and not ckpt.has("stage1"):
         # Persist only the valid prefix of the table (cap is read-volume
