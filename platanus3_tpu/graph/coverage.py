@@ -61,11 +61,16 @@ jax.tree_util.register_pytree_node(
 
 
 def count_coverage(dbg: DBG, k: int, bases, valid_len, start, read_len,
-                   prev_base, next_base) -> CoverageResult:
+                   prev_base, next_base, nid=None) -> CoverageResult:
     """One pass over the chunked read batch.
 
     ``bases [C, chunk_len]`` unpacked codes; ownership masks recomputed
     like the solidity stage so each global read position contributes once.
+
+    ``nid [C, Pk] int32``: per-position node ids, when stage 1 already
+    derived them from its node-table sort (count_solid_with_ids).  When
+    ``None`` (sharded stage 1, checkpoint restore) they are resolved here
+    with one sort-join over all positions.
     """
     m, l = dbg.nodes.shape
     c, chunk_len = bases.shape
@@ -78,10 +83,11 @@ def count_coverage(dbg: DBG, k: int, bases, valid_len, start, read_len,
     in_read = start[:, None] + local + k <= read_len[:, None]
     owned = (local < stride) & in_read & valid
 
-    table = count_mod.KmerTable(dbg.nodes, jnp.zeros((m,), jnp.int32),
-                                dbg.size)
-    nid = count_mod.lookup_id_join(
-        table, canon.reshape(-1, l)).reshape(c, pk)
+    if nid is None:
+        table = count_mod.KmerTable(dbg.nodes, jnp.zeros((m,), jnp.int32),
+                                    dbg.size)
+        nid = count_mod.lookup_id_join(
+            table, canon.reshape(-1, l)).reshape(c, pk)
     hit = owned & (nid >= 0)
     pal = kmer_mod.is_palindrome(canon, k)
 

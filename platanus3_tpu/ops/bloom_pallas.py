@@ -119,7 +119,7 @@ def build_packed_bloom(kmers: jnp.ndarray, k: int, mask: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BLOCK_WORDS,), lambda i, *_: (i,),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["KmerTable", "sort_kmers", "count_kmers", "count_with_positions",
-           "lookup", "merge_tables"]
+           "count_solid_with_ids", "lookup", "merge_tables"]
 
 
 class KmerTable(NamedTuple):
@@ -138,6 +138,54 @@ def count_with_positions(kmers: jnp.ndarray, valid: jnp.ndarray,
         jnp.where(s_invalid, 0, seg_count[seg_id])
     )
     return KmerTable(keys=keys, counts=counts, size=size), per_pos
+
+
+def count_solid_with_ids(kmers: jnp.ndarray, valid: jnp.ndarray,
+                         contributes: jnp.ndarray):
+    """Solid-node table AND per-position node ids from ONE sort.
+
+    ``kmers [N, L]``: canonical k-mer at every read position;
+    ``valid``: positions that should receive a node id (owned, in-read);
+    ``contributes``: positions whose occurrence makes the k-mer a node and
+    adds +1 to its count (solid & owned).
+
+    Returns ``(KmerTable, per_pos_nid [N] int32)`` where the table holds
+    the unique k-mers with >= 1 contribution (lexicographically sorted --
+    the same table ``count_kmers(kmers, contributes)`` builds), and
+    ``per_pos_nid[i]`` is the table row of position i's k-mer (-1 when the
+    k-mer is not a node or the position is invalid).
+
+    This makes the coverage pass (reference ``CountNodeCoverage``,
+    ``src/DeBruijnGraph.cpp:393-449``) a pure scatter: the node-id
+    resolution that previously needed a second full sort-join over all
+    read positions (graph/coverage.py) falls out of the sort stage 1
+    already performs to build the node table.
+    """
+    n, l = kmers.shape
+    contributes = contributes & valid
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_kmers, s_invalid, s_idx, s_contrib = sort_kmers(
+        kmers, ~valid, idx, contributes.astype(jnp.int32))
+    is_first, seg_id = _boundaries(s_kmers, s_invalid)
+    seg_count = jax.ops.segment_sum(
+        jnp.where(s_invalid, 0, s_contrib), seg_id, num_segments=n)
+    # A segment is a node iff it has >= 1 contributing occurrence.
+    row_is_node = (seg_count[seg_id] > 0) & ~s_invalid
+    node_first = is_first & row_is_node
+    # Node id = rank among node segments; constant within a segment
+    # because node_first fires only on the segment's first row.
+    node_rank = jnp.cumsum(node_first.astype(jnp.int32)) - 1
+    size = jnp.sum(node_first.astype(jnp.int32)).astype(jnp.int32)
+
+    pad = jnp.full((n, l), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+    tgt = jnp.where(node_first, node_rank, n)
+    keys = pad.at[tgt].set(s_kmers, mode="drop")
+    counts = jnp.zeros((n,), jnp.int32).at[tgt].set(
+        seg_count[seg_id], mode="drop")
+
+    nid_sorted = jnp.where(row_is_node, node_rank, -1).astype(jnp.int32)
+    per_pos_nid = jnp.zeros((n,), jnp.int32).at[s_idx].set(nid_sorted)
+    return KmerTable(keys=keys, counts=counts, size=size), per_pos_nid
 
 
 def _lex_less_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

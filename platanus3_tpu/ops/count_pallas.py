@@ -1,0 +1,259 @@
+"""Pallas TPU kernel: open-addressing k-mer count table.
+
+The north-star design names an "open-addressing k-mer counting [kernel]
+over HBM-resident read batches" as the alternative to the sort+segment
+counter in ops/count.py (which replaces the reference's
+``unordered_map<bitset,u64>``, ``src/Load.cpp:105-127``).  TPU has no
+global atomics, so a straight scatter-increment table is not expressible;
+this kernel restructures open addressing TPU-natively:
+
+  1. hash every canonical k-mer to u32 (ops/hashing.py) and sort by hash
+     ONLY (1-key sort; the lanes ride as payloads);
+  2. aggregate ADJACENT equal k-mers vectorized (a run of an equal k-mer
+     collapses to one representative carrying the run's contribution sum)
+     and compact representatives to the front -- after this the kernel's
+     scalar work is proportional to the number of UNIQUE k-mers, not read
+     positions;
+  3. partition representatives by hash prefix into blocks; a sequential
+     Pallas grid gives each block a VMEM-resident open-addressing table
+     (linear probing, counts==0 marks empty) -- inserts are scalar
+     read-modify-writes at VMEM latency, merging the few same-hash
+     interleaved runs step 2 cannot collapse;
+  4. each block's dense (keys, counts) slab is written out once.
+
+The result is a hash-ordered exact count table (`OAHashTable`).  Keys use
+the same 0xFF.. padding convention as `KmerTable` for empty slots is NOT
+safe here (an all-ones canonical k-mer exists, e.g. the even-k
+T..TA..A palindrome), so occupancy is defined by ``counts > 0``.
+
+Trade-off vs the sort counter (measured; see benchmarks/RESULTS.md): both
+paths pay one global sort, so wall-clock is similar at k<=32; the
+open-addressing path carries fewer sort operands as k grows (1 hash key
+vs ceil(k/16)+1 lex keys) and its output doubles as an O(1)-probe
+membership structure.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from platanus3_tpu.ops import hashing
+
+__all__ = ["OAHashTable", "count_kmers_oa", "oa_to_sorted"]
+
+# Rows per block-local table (VMEM): keys L*TB*4 B + counts TB*4 B.
+TB_LOG2 = 14
+TB = 1 << TB_LOG2
+# Representatives staged per DMA round.
+CH = 1 << 13
+# Max tolerated load factor per block before resizing the grid.
+LOAD = 0.5
+
+
+class OAHashTable(NamedTuple):
+    """Open-addressing exact k-mer count table (hash-partitioned).
+
+    keys:   ``[L, T] uint32`` -- lane-major so the long axis is the minor
+            (128-lane) dimension on TPU
+    counts: ``[T] int32``; slot occupied iff > 0
+    overflow: scalar int32 -- number of dropped inserts (0 in any healthy
+            run; >0 means the caller must rebuild with more blocks)
+    """
+
+    keys: jnp.ndarray
+    counts: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    OAHashTable,
+    lambda t: ((t.keys, t.counts, t.overflow), None),
+    lambda _, leaves: OAHashTable(*leaves),
+)
+
+
+def _insert_kernel(bounds_ref, meta_hbm, lanes_hbm, keys_ref, counts_ref,
+                   ovf_ref, meta_vmem, lanes_vmem, sem_m, sem_l, *,
+                   num_lanes: int):
+    i = pl.program_id(0)
+    lo = bounds_ref[i]
+    hi = bounds_ref[i + 1]
+    counts_ref[:] = jnp.zeros_like(counts_ref)
+    ovf_ref[0] = 0
+    mask = np.int32(TB - 1)
+
+    def chunk_body(c, _):
+        start = lo + c * CH
+        dm = pltpu.make_async_copy(
+            meta_hbm.at[:, pl.ds(start, CH)], meta_vmem, sem_m)
+        dl = pltpu.make_async_copy(
+            lanes_hbm.at[:, pl.ds(start, CH)], lanes_vmem, sem_l)
+        dm.start()
+        dl.start()
+        dm.wait()
+        dl.wait()
+        n = jnp.minimum(hi - start, CH)
+
+        def elem_body(t, _):
+            contrib = meta_vmem[1, t]
+
+            @pl.when((t < n) & (contrib > 0))
+            def _():
+                h = meta_vmem[0, t]
+                key = [lanes_vmem[l, t] for l in range(num_lanes)]
+
+                def cond(st):
+                    _, steps, done = st
+                    return jnp.logical_not(done) & (steps < TB)
+
+                def body(st):
+                    slot, steps, _ = st
+                    empty = counts_ref[slot] == 0
+                    eq = keys_ref[0, slot] == key[0]
+                    for l in range(1, num_lanes):
+                        eq = eq & (keys_ref[l, slot] == key[l])
+                    stop = empty | eq
+                    nslot = jnp.where(stop, slot, (slot + 1) & mask)
+                    return nslot, steps + 1, stop
+
+                slot0 = h & mask
+                slot, _, done = jax.lax.while_loop(
+                    cond, body, (slot0, jnp.int32(0), False))
+
+                @pl.when(done)
+                def _():
+                    for l in range(num_lanes):
+                        keys_ref[l, slot] = lanes_vmem[l, t]
+                    counts_ref[slot] = counts_ref[slot] + contrib
+
+                @pl.when(jnp.logical_not(done))
+                def _():
+                    ovf_ref[0] = ovf_ref[0] + 1
+
+            return 0
+
+        jax.lax.fori_loop(0, n, elem_body, 0)
+        return 0
+
+    n_chunks = (hi - lo + CH - 1) // CH
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def count_kmers_oa(kmers: jnp.ndarray, contrib: jnp.ndarray, k: int,
+                   interpret: bool = False) -> OAHashTable:
+    """Exact counts of canonical ``[N, L]`` k-mers (open addressing).
+
+    ``contrib [N] bool``: rows that add +1 (invalid/padding rows False).
+    """
+    n, l = kmers.shape
+    h1, _ = hashing.double_hash(kmers, k)
+    # Non-contributing rows get the max hash so they sort to the end; they
+    # also carry contribution 0, so the kernel skips any that interleave
+    # with real max-hash rows.
+    h = jnp.where(contrib, h1, jnp.uint32(0xFFFFFFFF))
+    ops = [h] + [kmers[:, j] for j in range(l)] + [
+        contrib.astype(jnp.int32)]
+    out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
+    s_h, s_lanes, s_contrib = out[0], out[1 : 1 + l], out[1 + l]
+
+    # ---- adjacent-run aggregation + compaction (vectorized) ----
+    diff = s_h[1:] != s_h[:-1]
+    for j in range(l):
+        diff = diff | (s_lanes[j][1:] != s_lanes[j][:-1])
+    is_first = jnp.concatenate([jnp.ones((1,), bool), diff])
+    run_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    run_sum = jax.ops.segment_sum(s_contrib, run_id, num_segments=n)
+    is_rep = is_first & (run_sum[run_id] > 0)
+    rep_slot = jnp.where(is_rep,
+                         jnp.cumsum(is_rep.astype(jnp.int32)) - 1, n)
+    num_rep = jnp.sum(is_rep.astype(jnp.int32))
+
+    def compact(x, fill):
+        return jnp.full((n,), fill, x.dtype).at[rep_slot].set(x, mode="drop")
+
+    c_h = compact(s_h, np.uint32(0xFFFFFFFF))
+    c_lanes = [compact(s_lanes[j], np.uint32(0)) for j in range(l)]
+    c_contrib = jnp.where(jnp.arange(n) < num_rep,
+                          compact(run_sum[run_id], np.int32(0)), 0)
+
+    # ---- block partition by hash prefix ----
+    g_log2 = max(0, (int(n / (TB * LOAD)) - 1).bit_length())
+    grid = 1 << g_log2
+    if g_log2:
+        blk = (c_h >> np.uint32(32 - g_log2)).astype(jnp.int32)
+        bounds = jnp.searchsorted(
+            blk, jnp.arange(grid + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+    else:
+        bounds = jnp.stack(
+            [jnp.zeros((), jnp.int32), num_rep.astype(jnp.int32)])
+    # Clamp to the representative prefix (rows past num_rep are padding).
+    bounds = jnp.minimum(bounds, num_rep)
+
+    # Stage arrays padded so CH-wide DMA slices stay in bounds.
+    pad = CH
+    meta = jnp.stack([
+        jnp.concatenate([c_h.astype(jnp.int32),
+                         jnp.zeros((pad,), jnp.int32)]),
+        jnp.concatenate([c_contrib, jnp.zeros((pad,), jnp.int32)]),
+    ])                                                   # [2, n+pad]
+    lanes = jnp.stack(
+        [jnp.concatenate([c_lanes[j], jnp.zeros((pad,), jnp.uint32)])
+         for j in range(l)])                             # [L, n+pad]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((l, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CH), jnp.int32),
+            pltpu.VMEM((l, CH), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    import functools
+    keys, counts, ovf = pl.pallas_call(
+        functools.partial(_insert_kernel, num_lanes=l),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((l, grid * TB), jnp.uint32),
+            jax.ShapeDtypeStruct((grid * TB,), jnp.int32),
+            jax.ShapeDtypeStruct((grid,), jnp.int32),
+        ),
+        interpret=interpret,
+    )(bounds, meta, lanes)
+    return OAHashTable(keys=keys, counts=counts,
+                       overflow=jnp.sum(ovf))
+
+
+def oa_to_sorted(table: OAHashTable):
+    """Convert to the lex-sorted `KmerTable` layout (for interop and
+    equality testing against the sort-based counter)."""
+    from platanus3_tpu.ops import count as count_mod
+    keys = table.keys.T                      # [T, L]
+    occ = table.counts > 0
+    t, l = keys.shape
+    s_keys, s_invalid, s_counts = count_mod.sort_kmers(
+        keys, ~occ, table.counts)
+    size = jnp.sum(occ.astype(jnp.int32))
+    pad = jnp.full((t, l), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+    in_range = jnp.arange(t) < size
+    out_keys = jnp.where(in_range[:, None], s_keys, pad)
+    out_counts = jnp.where(in_range, s_counts, 0)
+    return count_mod.KmerTable(keys=out_keys, counts=out_counts, size=size)

@@ -85,11 +85,15 @@ def _stage1(packed, valid_len, read_id, start, read_len, bf, cov_threshold, *,
         add_to_bloom=add_to_bloom)
     seed_fw, has_seed = solid_mod.first_solid_per_read(
         result, read_id, start, num_reads)
-    l = result.canon.shape[-1]
-    node_table = count_mod.count_kmers(
+    c, pk, l = result.canon.shape
+    # One sort yields the node table AND every position's node id; the
+    # coverage pass then needs no lookup at all (count_solid_with_ids).
+    node_table, nid = count_mod.count_solid_with_ids(
         result.canon.reshape(-1, l),
+        result.owned.reshape(-1),
         (result.is_solid & result.owned).reshape(-1))
-    return node_table, bf, seed_fw, has_seed, result.short_table
+    return (node_table, bf, seed_fw, has_seed, result.short_table,
+            nid.reshape(c, pk))
 
 
 @partial(jax.jit, static_argnames=("k", "use_exact"))
@@ -97,12 +101,13 @@ def _stage2(nodes, size, bf, *, k, use_exact):
     return build_mod.build_graph(nodes, size, k, bf, use_exact=use_exact)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "has_nid"))
 def _stage3(dbg, packed, valid_len, start, read_len, prev_base, next_base,
-            seed_fw, has_seed, *, k):
+            seed_fw, has_seed, nid, *, k, has_nid):
     bases = kmer_mod.unpack_bases(packed)
     cov = cov_mod.count_coverage(
-        dbg, k, bases, valid_len, start, read_len, prev_base, next_base)
+        dbg, k, bases, valid_len, start, read_len, prev_base, next_base,
+        nid=nid if has_nid else None)
     reach_jun, reach_uni = reach_mod.reachable(dbg, seed_fw, has_seed, k)
     chars = seq_mod.member_chars(dbg, k)
     return cov, reach_jun, reach_uni, chars
@@ -221,6 +226,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         seed_fw = jnp.asarray(d["seed_fw"])
         has_seed = jnp.asarray(d["has_seed"])
         short_table = None
+        nid = None
         log.write("stage1 restored from checkpoint")
     elif mesh is not None:
         from platanus3_tpu.parallel import sharded as sharded_mod
@@ -237,8 +243,9 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
                 f"all-to-all bucket overflow ({int(ovf)} k-mers dropped); "
                 f"increase slack")
         short_table = None
+        nid = None
     else:
-        table, bf, seed_fw, has_seed, short_table = _stage1(
+        table, bf, seed_fw, has_seed, short_table, nid = _stage1(
             packed, valid_len, read_id, start, read_len, bf,
             jnp.asarray(config.cov_threshold, jnp.int32),
             k=config.k, short_k=min(config.short_k, config.k),
@@ -277,10 +284,16 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     log.write("de bruijn graph loaded")
 
     # ---- stage 3: coverage + reachability ----
-    cov, reach_jun, reach_uni, chars = _stage3(
-        dbg, packed, valid_len, start, read_len,
-        dev(batch.prev_base), dev(batch.next_base),
-        seed_fw, has_seed, k=config.k)
+    nid_dummy = jnp.zeros((1, 1), jnp.int32)
+
+    def run_stage3(dbg, nid):
+        return _stage3(
+            dbg, packed, valid_len, start, read_len,
+            dev(batch.prev_base), dev(batch.next_base),
+            seed_fw, has_seed, nid if nid is not None else nid_dummy,
+            k=config.k, has_nid=nid is not None)
+
+    cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)
     log.write("count node coverage")
 
     # ---- graph simplification rounds (tips / bubbles; new vs ref) ----
@@ -310,10 +323,13 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
             # Rebuild with EXACT membership: after deletion the Bloom
             # filter no longer describes the k-mer set.
             dbg = _stage2(nodes, size, bf, k=config.k, use_exact=True)
-            cov, reach_jun, reach_uni, chars = _stage3(
-                dbg, packed, valid_len, start, read_len,
-                dev(batch.prev_base), dev(batch.next_base),
-                seed_fw, has_seed, k=config.k)
+            if nid is not None:
+                # Kept rows keep their lexicographic order, so the old
+                # node ids remap by rank among the keep mask.
+                remap = jnp.asarray(
+                    np.where(keep, np.cumsum(keep) - 1, -1).astype(np.int32))
+                nid = jnp.where(nid >= 0, remap[jnp.clip(nid, 0, None)], -1)
+            cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)
             log.write(f"simplify round {rnd + 1}: dropped "
                       f"{int(drop.sum())} unitigs, {n_keep} nodes left")
 

@@ -187,3 +187,46 @@ def test_bloom_mask_drops_and_merge():
     bf2 = B.bloom_add(bf2, enc, k, mask=~mask)
     merged = B.bloom_merge(bf, bf2)
     assert bool(jnp.all(B.bloom_query(merged, enc, k)))
+
+
+def test_count_solid_with_ids_matches_composition():
+    # count_solid_with_ids == count_kmers(contributes) + lookup_id_join
+    k = 11
+    n = 400
+    strs = [random_seq(k) for _ in range(40)]
+    picks = RNG.integers(0, len(strs), size=n)
+    kmers = jnp.asarray(K.encode_kmers_np([strs[i] for i in picks]))
+    canon, _ = K.canonical(kmers, k)
+    valid = jnp.asarray(RNG.random(n) < 0.9)
+    solid = jnp.asarray(RNG.random(n) < 0.5) & valid
+
+    table, nid = C.count_solid_with_ids(canon, valid, solid)
+    ref_table = C.count_kmers(canon, solid)
+    sz, ref_sz = int(table.size), int(ref_table.size)
+    assert sz == ref_sz
+    assert np.array_equal(np.asarray(table.keys[:sz]),
+                          np.asarray(ref_table.keys[:sz]))
+    assert np.array_equal(np.asarray(table.counts[:sz]),
+                          np.asarray(ref_table.counts[:sz]))
+
+    ref_nid = np.asarray(C.lookup_id_join(ref_table, canon))
+    got = np.asarray(nid)
+    v = np.asarray(valid)
+    assert np.array_equal(got[v], ref_nid[v])
+    assert (got[~v] == -1).all()
+
+
+def test_count_solid_with_ids_empty_and_all_solid():
+    k = 9
+    kmers = jnp.asarray(K.encode_kmers_np([random_seq(k) for _ in range(16)]))
+    canon, _ = K.canonical(kmers, k)
+    none = jnp.zeros(16, bool)
+    t, nid = C.count_solid_with_ids(canon, none, none)
+    assert int(t.size) == 0
+    assert (np.asarray(nid) == -1).all()
+
+    ones = jnp.ones(16, bool)
+    t2, nid2 = C.count_solid_with_ids(canon, ones, ones)
+    uniq = {s for s in K.decode_kmers_np(np.asarray(canon), k)}
+    assert int(t2.size) == len(uniq)
+    assert (np.asarray(nid2) >= 0).all()
