@@ -2,7 +2,7 @@
 
 BASELINE metric: "k-mers/sec/chip (count+Bloom)".  The production
 configuration uses exact membership (the Bloom build's XLA scatter
-serializes on TPU -- measured 33 s vs 0.4 s for the whole counting sort;
+costs ~2.6 s for 200M probe bits vs 0.4 s for the whole counting sort;
 see AssemblyConfig.use_exact_membership), so the hot path benchmarked here
 is: 2-bit unpack -> canonical extraction (21-mers and k-mers) -> global
 sort count -> window-min solidity -> solid-node table build.  That is

@@ -1,0 +1,91 @@
+"""BASELINE config 5 (single-chip leg): human-chr21-scale streaming run.
+
+Assembles a simulated chromosome-21-sized read set (46.7 Mb genome,
+long reads) through the bounded-memory streaming pipeline on ONE chip --
+the read volume exceeds what the single-shot pipeline can hold in HBM.
+The multi-host leg of config 5 (hash-prefix-sharded count table,
+all-to-all shuffle, >80% efficiency gate) is measured by
+benchmarks/scaling.py and parallel/multihost.py; this script produces the
+wall-clock + throughput headline for the largest single-device problem.
+
+Reference comparison: the reference binary counts+assembles at ~92 kbases/s
+on 2 CPU cores (BASELINE.md), i.e. a 560 Mbase read set would take ~1.7 h;
+it also holds every read and k-mer count in RAM simultaneously.
+
+Usage: python benchmarks/chr21_stream.py [--genome-mb 46.7] [--coverage 12]
+       [--sub 0.002] [--slice-chunks 4096] [--short-cap-log2 27]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-mb", type=float, default=46.7)
+    ap.add_argument("--coverage", type=float, default=12)
+    ap.add_argument("--read-len", type=int, default=8000)
+    ap.add_argument("--sub", type=float, default=0.002)
+    ap.add_argument("--k", type=int, default=25)
+    ap.add_argument("--cov-threshold", type=int, default=3)
+    ap.add_argument("--chunk-len", type=int, default=4096)
+    ap.add_argument("--slice-chunks", type=int, default=4096)
+    ap.add_argument("--short-cap-log2", type=int, default=27)
+    ap.add_argument("--node-cap-log2", type=int, default=27)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    from platanus3_tpu import sim
+    from platanus3_tpu.config import AssemblyConfig
+    from platanus3_tpu.streaming import assemble_streaming
+    from platanus3_tpu.sweep import n50
+    from platanus3_tpu.utils.logging import PipelineLog
+
+    glen = int(args.genome_mb * 1e6)
+    t0 = time.time()
+    genome = sim.random_genome(glen, seed=args.seed)
+    reads = sim.simulate_reads(genome, coverage=args.coverage,
+                               read_len=args.read_len, seed=args.seed + 1,
+                               sub_rate=args.sub)
+    nbases = sum(len(r) for r in reads)
+    t_gen = time.time() - t0
+    print(f"# backend={jax.default_backend()} genome {glen/1e6:.1f} Mb, "
+          f"{len(reads)} reads, {nbases/1e6:.0f} Mbases at "
+          f"{args.coverage}x, sub={args.sub} (gen {t_gen:.0f}s)", flush=True)
+
+    cfg = AssemblyConfig(k=args.k, cov_threshold=args.cov_threshold,
+                         chunk_len=args.chunk_len, log_path=None,
+                         gfa_path="/tmp/chr21_stream.gfa")
+    log = PipelineLog(None, echo=True)
+    t0 = time.time()
+    res = assemble_streaming(
+        reads, cfg, log=log, write_output=True,
+        short_cap=1 << args.short_cap_log2,
+        node_cap=1 << args.node_cap_log2,
+        slice_chunks=args.slice_chunks)
+    wall = time.time() - t0
+
+    lens = [len(s) for s in res.straight_seqs if s]
+    out = {
+        "config": "baseline-5-chr21-stream",
+        "genome_mb": args.genome_mb, "coverage": args.coverage,
+        "read_mbases": round(nbases / 1e6, 1), "sub_rate": args.sub,
+        "k": args.k, "wall_s": round(wall, 1),
+        "mbases_per_s": round(nbases / wall / 1e6, 3),
+        "straights": res.num_straights, "junctions": res.num_junctions,
+        "n50": n50(lens), "max_unitig": max(lens) if lens else 0,
+        "solid_nodes": res.num_nodes,
+        "ref_2core_est_s": round(nbases / 92_000),
+        "speedup_vs_ref_est": round((nbases / 92_000) / wall, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

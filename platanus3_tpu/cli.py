@@ -43,11 +43,27 @@ def build_parser():
     p.add_argument("--pop-bubbles", action="store_true")
     p.add_argument("--no-seed-restrict", action="store_true",
                    help="emit all components, not only seed-reachable ones")
+    p.add_argument("--membership", choices=["exact", "bloom"],
+                   default="exact",
+                   help="graph adjacency oracle: 'exact' (default) probes "
+                        "the exact solid-k-mer table, no false positives; "
+                        "'bloom' probes a Bloom filter like the reference "
+                        "(FPs included)")
     p.add_argument("--exact-membership", action="store_true",
-                   help="use the exact solid set for adjacency instead of "
-                        "the Bloom filter (no false positives)")
+                   help=argparse.SUPPRESS)  # legacy alias of the default
     p.add_argument("--mesh", action="store_true",
                    help="shard stage 1 over all visible devices")
+    p.add_argument("--streaming", action="store_true",
+                   help="bounded-memory mode for read sets larger than "
+                        "device HBM (two-pass counting)")
+    p.add_argument("--slice-chunks", type=int, default=2048,
+                   help="chunks resident per device step in --streaming")
+    p.add_argument("--short-cap-log2", type=int, default=0,
+                   help="streaming: log2 capacity for distinct short "
+                        "k-mers (0 = auto)")
+    p.add_argument("--node-cap-log2", type=int, default=0,
+                   help="streaming: log2 capacity for solid nodes "
+                        "(0 = auto)")
     p.add_argument("-o", "--output", default="./de_bruijn_graph.gfa")
     p.add_argument("--log", default="./platanus3.log")
     p.add_argument("--checkpoint-dir", default="",
@@ -80,9 +96,11 @@ def main(argv=None):
         clip_tips=args.clip_tips,
         pop_bubbles=args.pop_bubbles,
         restrict_to_seeds=not args.no_seed_restrict,
-        use_exact_membership=args.exact_membership,
+        use_exact_membership=(args.membership == "exact"
+                              or args.exact_membership),
         gfa_path=args.output,
         log_path=args.log,
+        checkpoint_dir=args.checkpoint_dir,
     )
     log = PipelineLog(cfg.log_path, echo=args.echo_log)
 
@@ -95,6 +113,14 @@ def main(argv=None):
     if k_list and len(k_list) > 1:
         from platanus3_tpu.graph.multik import assemble_multik
         res = assemble_multik(args.readfile, cfg, log=log, mesh=mesh)
+    elif args.streaming:
+        from platanus3_tpu.streaming import assemble_streaming
+        res = assemble_streaming(
+            args.readfile, cfg, log=log,
+            short_cap=(1 << args.short_cap_log2) if args.short_cap_log2
+            else 0,
+            node_cap=(1 << args.node_cap_log2) if args.node_cap_log2 else 0,
+            slice_chunks=args.slice_chunks)
     else:
         res = assemble(args.readfile, cfg, log=log, mesh=mesh)
     print(f"wrote {cfg.gfa_path}: {res.num_straights} straights, "

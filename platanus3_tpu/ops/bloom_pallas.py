@@ -1,32 +1,35 @@
 """Pallas TPU kernel for bulk Bloom-filter construction.
 
-XLA's scatter on TPU serializes one update at a time through the scalar
-core with an HBM round-trip each -- measured 33 s to set 190M probe bits
-in a 2^29-bit filter (vs 0.4 s for the whole counting sort).  This kernel
-gets the same result ~two orders of magnitude faster by restructuring the
-problem TPU-natively:
+XLA's scatter-max on TPU runs ~75M updates/s (scalar-core bound; ~2.6 s
+for 200M probe bits in a 2^29-bit filter).  This kernel produces a
+PACKED filter (8x less HBM than the byte-per-bit XLA path) at similar
+build speed by restructuring the problem TPU-natively:
 
   1. probe BIT positions are computed vectorized (ops/hashing.py) and
      SORTED (one lax.sort -- TPU sorts are fast);
   2. block boundaries (first sorted position belonging to each filter
      block) come from one vectorized searchsorted;
-  3. a Pallas kernel walks the grid of filter blocks; each instance DMAs
-     its slice of sorted positions into VMEM and sets bits in a
-     VMEM-resident block with scalar read-modify-writes (VMEM latency,
-     not HBM), then writes the dense block out once.
+  3. a Pallas kernel walks a (block, chunk) grid; each block's slice of
+     the filter lives in SMEM (Mosaic allows scalar read-modify-write
+     only there -- probed on hardware; VMEM scalar stores are rejected
+     and sliced-HBM-source DMAs crash this toolchain, so the sorted
+     positions ride the BlockSpec pipeline with a scalar-prefetch-driven
+     index map, exactly like ops/count_pallas.py);
+  4. the dense block is written out once.
 
-The filter here is PACKED uint32 words (32 bits/word) -- 8x less HBM than
-the byte-per-bit representation ``ops/bloom.py`` uses for the plain-XLA
-path.  Both build paths produce identical membership semantics; queries
-can use either layout (``query_packed`` gathers words and tests bits).
+The filter is PACKED uint32 words (32 bits/word) -- 8x less HBM than the
+byte-per-bit representation ``ops/bloom.py`` uses for the plain-XLA path.
+Both build paths produce identical membership semantics; queries can use
+either layout (``query_packed`` gathers words and tests bits).
 
-This is the "speed-of-light" kernel called for by the north star (packed
-Bloom membership as a Pallas kernel over HBM-resident batches).
+This is the "speed-of-light" membership-structure kernel called for by
+the north star (packed Bloom build as a Pallas kernel over HBM-resident
+probe batches).
 """
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import numpy as np
 import jax
@@ -36,59 +39,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 from platanus3_tpu.ops import hashing
 
-__all__ = ["build_packed_bloom", "query_packed"]
+__all__ = ["build_packed_bloom", "query_packed",
+           "build_blocked_bloom", "query_blocked"]
 
-# Words per filter block held in VMEM by one kernel instance (512 KB).
-BLOCK_WORDS = 1 << 17
-# Positions staged into VMEM per DMA round.
-POS_CHUNK = 1 << 14
+# Words per filter block held in SMEM by one kernel grid row (64 KB).
+BLOCK_WORDS = 1 << 14
+# Positions per pipelined input chunk.
+POS_CHUNK = 1 << 11
+# Headroom multiplier on the per-block chunk budget.
+SLACK = 1.6
 
 
-def _set_bits_kernel(bounds_ref, pos_hbm, out_ref, pos_vmem, sem):
-    """Grid instance i owns filter words [i*BLOCK_WORDS, (i+1)*BLOCK_WORDS).
-
-    bounds_ref (scalar-prefetch): [G+1] int32 -- slice of the sorted
-    position array belonging to each block.
-    """
-    i = pl.program_id(0)
+def _set_bits_kernel(bounds_ref, pos_ref, words_ref, ovf_ref, *,
+                     c_max: int, real_blocks: int):
+    i, j = pl.program_id(0), pl.program_id(1)
     lo = bounds_ref[i]
     hi = bounds_ref[i + 1]
-    out_ref[:] = jnp.zeros_like(out_ref)
+    row0 = lo // POS_CHUNK
     word_base = i * np.int32(BLOCK_WORDS * 32)
 
-    def chunk_body(c, _):
-        start = lo + c * POS_CHUNK
-        dma = pltpu.make_async_copy(
-            pos_hbm.at[pl.ds(start, POS_CHUNK)],
-            pos_vmem,
-            sem,
-        )
-        dma.start()
-        dma.wait()
-        n = jnp.minimum(hi - start, POS_CHUNK)
+    @pl.when(j == 0)
+    def _():
+        def z(t, _):
+            words_ref[0, 0, t] = jnp.uint32(0)
+            return 0
+        jax.lax.fori_loop(0, BLOCK_WORDS, z, 0)
+        cover_end = (row0 + c_max) * POS_CHUNK
+        # Uncovered positions would be silently-missing filter bits (false
+        # negatives) -- surface them.  The final grid row is the overflow
+        # block holding masked-position sentinels; it is all skipped.
+        ovf_ref[0, 0, 0] = jnp.where(
+            i < real_blocks, jnp.maximum(hi - cover_end, 0), 0)
 
-        def bit_body(t, _):
-            p = pos_vmem[t] - word_base
-            w = jax.lax.shift_right_logical(p, 5)
-            b = jnp.uint32(1) << (p.astype(jnp.uint32) & np.uint32(31))
-            out_ref[w] = out_ref[w] | b
+    @pl.when(i < real_blocks)
+    def _():
+        base = (row0 + j) * POS_CHUNK
+
+        def body(t, _):
+            g = base + t
+
+            @pl.when((g >= lo) & (g < hi))
+            def _():
+                p = pos_ref[0, 0, t] - word_base
+                w = jax.lax.shift_right_logical(p, 5)
+                b = jnp.uint32(1) << (p.astype(jnp.uint32) & np.uint32(31))
+                words_ref[0, 0, w] = words_ref[0, 0, w] | b
+
             return 0
 
-        jax.lax.fori_loop(0, n, bit_body, 0)
-        return 0
-
-    n_chunks = (hi - lo + POS_CHUNK - 1) // POS_CHUNK
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        jax.lax.fori_loop(0, POS_CHUNK, body, 0)
 
 
 def build_packed_bloom(kmers: jnp.ndarray, k: int, mask: jnp.ndarray,
                        log2_bits: int, num_hashes: int,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       return_overflow: bool = False):
     """Build a packed uint32 Bloom bit array from canonical k-mers.
 
     kmers ``[N, L] uint32``, mask ``[N] bool``; returns ``[2^log2_bits/32]
-    uint32``.  Masked k-mers contribute sentinel positions past the filter
-    end, which land in a discarded overflow block.
+    uint32`` (and the uncovered-position count when ``return_overflow`` --
+    0 in any healthy run; >0 means extreme hash skew exceeded the chunk
+    budget and the filter would have false negatives).
     """
     assert log2_bits >= 10
     m_bits = 1 << log2_bits
@@ -97,7 +108,6 @@ def build_packed_bloom(kmers: jnp.ndarray, k: int, mask: jnp.ndarray,
     # it is sliced off at the end.
     base_blocks = (n_words + BLOCK_WORDS - 1) // BLOCK_WORDS
     grid = base_blocks + 1
-    n_words_padded = grid * BLOCK_WORDS
     sentinel = np.int32(base_blocks * BLOCK_WORDS * 32)
 
     h1, h2 = hashing.double_hash(kmers, k)
@@ -105,10 +115,14 @@ def build_packed_bloom(kmers: jnp.ndarray, k: int, mask: jnp.ndarray,
     pos = pos.astype(jnp.int32)
     pos = jnp.where(mask[..., None], pos, sentinel).reshape(-1)
     pos = jnp.sort(pos)
-    # Pad so every POS_CHUNK-wide DMA read stays in-bounds.
     p = pos.shape[0]
-    pad = POS_CHUNK + ((-p) % POS_CHUNK)
-    pos = jnp.concatenate([pos, jnp.full((pad,), sentinel, jnp.int32)])
+
+    c_max = max(1, int(np.ceil(
+        SLACK * (p / base_blocks) / POS_CHUNK))) + 2
+    rows = -(-p // POS_CHUNK) + c_max + 1
+    pos = jnp.concatenate(
+        [pos, jnp.full((rows * POS_CHUNK - p,), sentinel, jnp.int32)])
+    pos3d = pos.reshape(rows, 1, POS_CHUNK)
 
     block_edges = (jnp.arange(grid + 1, dtype=jnp.int32)
                    * np.int32(BLOCK_WORDS * 32))
@@ -118,22 +132,33 @@ def build_packed_bloom(kmers: jnp.ndarray, k: int, mask: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((BLOCK_WORDS,), lambda i, *_: (i,),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((POS_CHUNK,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        grid=(grid, c_max),
+        in_specs=[pl.BlockSpec(
+            (1, 1, POS_CHUNK),
+            lambda i, j, b: (jnp.minimum(b[i] // POS_CHUNK + j, rows - 1),
+                             0, 0),
+            memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 1, BLOCK_WORDS), lambda i, j, b: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j, b: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
     )
-    words = pl.pallas_call(
-        _set_bits_kernel,
+    words, ovf = pl.pallas_call(
+        functools.partial(_set_bits_kernel, c_max=c_max,
+                          real_blocks=base_blocks),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_words_padded,), jnp.uint32),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid, 1, BLOCK_WORDS), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, 1, 1), jnp.int32),
+        ),
         interpret=interpret,
-    )(bounds, pos)
-    return words[:n_words]
+    )(bounds, pos3d)
+    words = words.reshape(grid * BLOCK_WORDS)[:n_words]
+    if return_overflow:
+        return words, jnp.sum(ovf)
+    return words
 
 
 def query_packed(words: jnp.ndarray, kmers: jnp.ndarray, k: int,
@@ -143,5 +168,139 @@ def query_packed(words: jnp.ndarray, kmers: jnp.ndarray, k: int,
     pos = hashing.probe_positions(h1, h2, num_hashes, log2_bits)
     w = (pos >> np.uint32(5)).astype(jnp.int32)
     b = pos & np.uint32(31)
+    probe = (words[w] >> b) & np.uint32(1)
+    return jnp.min(probe, axis=-1) > 0
+
+
+# ---------------------------------------------------------------------------
+# Blocked Bloom filter: ALL probes of a k-mer land inside one
+# BLOCK_WORDS-word block selected by the hash prefix (Putze et al.'s
+# cache-blocked design, mapped to SMEM blocks).  Build sorts ONE (h1, h2)
+# pair per k-mer instead of num_hashes probe positions -- the sort, which
+# dominates the flat build above, shrinks by num_hashes x.  FPR pays the
+# usual blocked-Bloom penalty (block-load variance), negligible at 2^19-bit
+# blocks and the sizing this pipeline uses.
+# ---------------------------------------------------------------------------
+
+_BLOCK_BITS = BLOCK_WORDS * 32
+_BB_MASK = np.uint32(_BLOCK_BITS - 1)
+
+
+def _blocked_kernel(bounds_ref, meta_ref, words_ref, ovf_ref, *,
+                    c_max: int, num_hashes: int):
+    i, j = pl.program_id(0), pl.program_id(1)
+    lo = bounds_ref[i]
+    hi = bounds_ref[i + 1]
+    row0 = lo // POS_CHUNK
+
+    @pl.when(j == 0)
+    def _():
+        def z(t, _):
+            words_ref[0, 0, t] = jnp.uint32(0)
+            return 0
+        jax.lax.fori_loop(0, BLOCK_WORDS, z, 0)
+        cover_end = (row0 + c_max) * POS_CHUNK
+        ovf_ref[0, 0, 0] = jnp.maximum(hi - cover_end, 0)
+
+    base = (row0 + j) * POS_CHUNK
+
+    def body(t, _):
+        g = base + t
+        h2 = meta_ref[0, 1, t]
+
+        @pl.when((g >= lo) & (g < hi) & (h2 != 0))
+        def _():
+            h1 = meta_ref[0, 0, t]
+            for n in range(num_hashes):
+                p = (h1 + n * h2) & jnp.int32(_BB_MASK)
+                w = jax.lax.shift_right_logical(p, 5)
+                b = jnp.uint32(1) << (p.astype(jnp.uint32) & np.uint32(31))
+                words_ref[0, 0, w] = words_ref[0, 0, w] | b
+
+        return 0
+
+    jax.lax.fori_loop(0, POS_CHUNK, body, 0)
+
+
+def _blocked_hashes(kmers: jnp.ndarray, k: int, log2_bits: int):
+    nblk = max(1, (1 << log2_bits) // _BLOCK_BITS)
+    h1, h2 = hashing.double_hash(kmers, k)
+    blk = (h1 >> np.uint32(32 - int(np.log2(nblk)))).astype(jnp.int32) \
+        if nblk > 1 else jnp.zeros(h1.shape, jnp.int32)
+    return nblk, blk, h1, h2
+
+
+def build_blocked_bloom(kmers: jnp.ndarray, k: int, mask: jnp.ndarray,
+                        log2_bits: int, num_hashes: int,
+                        interpret: bool = False,
+                        return_overflow: bool = False):
+    """Build a blocked packed Bloom filter (one sorted key per k-mer).
+
+    Returns ``[2^log2_bits / 32] uint32`` (block-major layout).  Must be
+    queried with :func:`query_blocked` -- bit placement differs from the
+    flat filter.
+    """
+    assert log2_bits >= 19, "blocked filter needs >= one 2^19-bit block"
+    n = kmers.shape[0]
+    nblk, blk, h1, h2 = _blocked_hashes(kmers, k, log2_bits)
+    # masked rows: blk = nblk (sorts last, skipped via h2 == 0 sentinel)
+    blk = jnp.where(mask, blk, nblk)
+    h2 = jnp.where(mask, h2, 0)
+    s_blk, s_h1, s_h2 = jax.lax.sort(
+        (blk, h1.astype(jnp.int32), h2.astype(jnp.int32)), num_keys=1,
+        is_stable=False)
+
+    c_max = max(1, int(np.ceil(SLACK * (n / nblk) / POS_CHUNK))) + 2
+    rows = -(-n // POS_CHUNK) + c_max + 1
+    pad = rows * POS_CHUNK - n
+    meta = jnp.stack([
+        jnp.concatenate([s_h1, jnp.zeros((pad,), jnp.int32)]),
+        jnp.concatenate([s_h2, jnp.zeros((pad,), jnp.int32)]),
+    ]).reshape(2, rows, POS_CHUNK).transpose(1, 0, 2)
+
+    bounds = jnp.searchsorted(
+        s_blk, jnp.arange(nblk + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk, c_max),
+        in_specs=[pl.BlockSpec(
+            (1, 2, POS_CHUNK),
+            lambda i, j, b: (jnp.minimum(b[i] // POS_CHUNK + j, rows - 1),
+                             0, 0),
+            memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 1, BLOCK_WORDS), lambda i, j, b: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j, b: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+    )
+    words, ovf = pl.pallas_call(
+        functools.partial(_blocked_kernel, c_max=c_max,
+                          num_hashes=num_hashes),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblk, 1, BLOCK_WORDS), jnp.uint32),
+            jax.ShapeDtypeStruct((nblk, 1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(bounds, meta)
+    words = words.reshape(nblk * BLOCK_WORDS)
+    if return_overflow:
+        return words, jnp.sum(ovf)
+    return words
+
+
+def query_blocked(words: jnp.ndarray, kmers: jnp.ndarray, k: int,
+                  log2_bits: int, num_hashes: int) -> jnp.ndarray:
+    """Vectorized membership query against a blocked filter."""
+    nblk, blk, h1, h2 = _blocked_hashes(kmers, k, log2_bits)
+    n = jnp.arange(num_hashes, dtype=jnp.uint32)
+    p = (h1[..., None] + n * h2[..., None]) & _BB_MASK
+    w = (blk[..., None] * BLOCK_WORDS
+         + (p >> np.uint32(5)).astype(jnp.int32))
+    b = p & np.uint32(31)
     probe = (words[w] >> b) & np.uint32(1)
     return jnp.min(probe, axis=-1) > 0

@@ -15,26 +15,33 @@ this kernel restructures open addressing TPU-natively:
      scalar work is proportional to the number of UNIQUE k-mers, not read
      positions;
   3. partition representatives by hash prefix into blocks; a sequential
-     Pallas grid gives each block a VMEM-resident open-addressing table
-     (linear probing, counts==0 marks empty) -- inserts are scalar
-     read-modify-writes at VMEM latency, merging the few same-hash
+     Pallas grid gives each block an SMEM-resident open-addressing table
+     (linear probing, counts==0 marks empty), merging the few same-hash
      interleaved runs step 2 cannot collapse;
   4. each block's dense (keys, counts) slab is written out once.
 
-The result is a hash-ordered exact count table (`OAHashTable`).  Keys use
-the same 0xFF.. padding convention as `KmerTable` for empty slots is NOT
-safe here (an all-ones canonical k-mer exists, e.g. the even-k
-T..TA..A palindrome), so occupancy is defined by ``counts > 0``.
+Mosaic constraints shape the implementation (probed on hardware): scalar
+stores are SMEM-only (VMEM refuses them), and a DMA whose HBM source is
+sliced crashes this toolchain -- so instead of manual chunk DMA the input
+rides the BlockSpec pipeline with a scalar-prefetch-driven index map over
+a rectangular ``(block, chunk-of-block)`` grid: chunk rows are
+block-aligned and elements outside the block's [bounds[i], bounds[i+1])
+range are masked in the kernel.
 
-Trade-off vs the sort counter (measured; see benchmarks/RESULTS.md): both
-paths pay one global sort, so wall-clock is similar at k<=32; the
-open-addressing path carries fewer sort operands as k grows (1 hash key
-vs ceil(k/16)+1 lex keys) and its output doubles as an O(1)-probe
-membership structure.
+Empty-slot convention: occupancy is ``counts > 0`` -- an all-ones key
+pattern is NOT usable as an empty marker because an all-ones canonical
+k-mer exists (e.g. the even-k T..TA..A palindrome).
+
+The result is a hash-ordered exact count table (`OAHashTable`); both
+paths pay one global sort, so wall-clock is similar at k<=32, while the
+open-addressing path carries fewer sort key operands as k grows and its
+output doubles as an O(1)-probe membership structure (see
+benchmarks/counter_compare.py for measured numbers).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -47,23 +54,25 @@ from platanus3_tpu.ops import hashing
 
 __all__ = ["OAHashTable", "count_kmers_oa", "oa_to_sorted"]
 
-# Rows per block-local table (VMEM): keys L*TB*4 B + counts TB*4 B.
-TB_LOG2 = 14
+# Rows per block-local table (SMEM): keys L*TB*4 B + counts TB*4 B.
+TB_LOG2 = 13
 TB = 1 << TB_LOG2
-# Representatives staged per DMA round.
-CH = 1 << 13
-# Max tolerated load factor per block before resizing the grid.
+# Representatives per pipelined input chunk.
+CH = 1 << 11
+# Target load factor per block.
 LOAD = 0.5
+# Headroom on the per-block chunk budget (hash skew tolerance; overflow
+# is detected and surfaced, never silent).
+SLACK = 2.0
 
 
 class OAHashTable(NamedTuple):
     """Open-addressing exact k-mer count table (hash-partitioned).
 
-    keys:   ``[L, T] uint32`` -- lane-major so the long axis is the minor
-            (128-lane) dimension on TPU
+    keys:   ``[L, T] uint32`` lane-major
     counts: ``[T] int32``; slot occupied iff > 0
-    overflow: scalar int32 -- number of dropped inserts (0 in any healthy
-            run; >0 means the caller must rebuild with more blocks)
+    overflow: scalar int32 -- dropped or uncovered inserts (0 in any
+            healthy run; >0 means rebuild with more blocks / slack)
     """
 
     keys: jnp.ndarray
@@ -78,71 +87,68 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _insert_kernel(bounds_ref, meta_hbm, lanes_hbm, keys_ref, counts_ref,
-                   ovf_ref, meta_vmem, lanes_vmem, sem_m, sem_l, *,
-                   num_lanes: int):
-    i = pl.program_id(0)
+def _insert_kernel(bounds_ref, meta_ref, lanes_ref, keys_ref, counts_ref,
+                   ovf_ref, *, num_lanes: int, c_max: int):
+    i, j = pl.program_id(0), pl.program_id(1)
     lo = bounds_ref[i]
     hi = bounds_ref[i + 1]
-    counts_ref[:] = jnp.zeros_like(counts_ref)
-    ovf_ref[0] = 0
+    row0 = lo // CH
     mask = np.int32(TB - 1)
 
-    def chunk_body(c, _):
-        start = lo + c * CH
-        dm = pltpu.make_async_copy(
-            meta_hbm.at[:, pl.ds(start, CH)], meta_vmem, sem_m)
-        dl = pltpu.make_async_copy(
-            lanes_hbm.at[:, pl.ds(start, CH)], lanes_vmem, sem_l)
-        dm.start()
-        dl.start()
-        dm.wait()
-        dl.wait()
-        n = jnp.minimum(hi - start, CH)
-
-        def elem_body(t, _):
-            contrib = meta_vmem[1, t]
-
-            @pl.when((t < n) & (contrib > 0))
-            def _():
-                h = meta_vmem[0, t]
-                key = [lanes_vmem[l, t] for l in range(num_lanes)]
-
-                def cond(st):
-                    _, steps, done = st
-                    return jnp.logical_not(done) & (steps < TB)
-
-                def body(st):
-                    slot, steps, _ = st
-                    empty = counts_ref[slot] == 0
-                    eq = keys_ref[0, slot] == key[0]
-                    for l in range(1, num_lanes):
-                        eq = eq & (keys_ref[l, slot] == key[l])
-                    stop = empty | eq
-                    nslot = jnp.where(stop, slot, (slot + 1) & mask)
-                    return nslot, steps + 1, stop
-
-                slot0 = h & mask
-                slot, _, done = jax.lax.while_loop(
-                    cond, body, (slot0, jnp.int32(0), False))
-
-                @pl.when(done)
-                def _():
-                    for l in range(num_lanes):
-                        keys_ref[l, slot] = lanes_vmem[l, t]
-                    counts_ref[slot] = counts_ref[slot] + contrib
-
-                @pl.when(jnp.logical_not(done))
-                def _():
-                    ovf_ref[0] = ovf_ref[0] + 1
-
+    @pl.when(j == 0)
+    def _():
+        def z(t, _):
+            counts_ref[0, 0, t] = 0
             return 0
+        jax.lax.fori_loop(0, TB, z, 0)
+        # Representatives past the chunk budget are never visited; count
+        # them as overflow so the caller can re-shard instead of silently
+        # losing k-mers.
+        cover_end = (row0 + c_max) * CH
+        ovf_ref[0, 0, 0] = jnp.maximum(hi - cover_end, 0)
 
-        jax.lax.fori_loop(0, n, elem_body, 0)
+    base = (row0 + j) * CH
+
+    def elem_body(t, _):
+        g = base + t
+        contrib = meta_ref[0, 1, t]
+
+        @pl.when((g >= lo) & (g < hi) & (contrib > 0))
+        def _():
+            h = meta_ref[0, 0, t]
+            key = [lanes_ref[0, l, t] for l in range(num_lanes)]
+
+            def cond(st):
+                _, steps, done = st
+                return jnp.logical_not(done) & (steps < TB)
+
+            def body(st):
+                slot, steps, _ = st
+                empty = counts_ref[0, 0, slot] == 0
+                eq = keys_ref[0, 0, slot] == key[0]
+                for l in range(1, num_lanes):
+                    eq = eq & (keys_ref[0, l, slot] == key[l])
+                stop = empty | eq
+                nslot = jnp.where(stop, slot, (slot + 1) & mask)
+                return nslot, steps + 1, stop
+
+            slot0 = h & mask
+            slot, _, done = jax.lax.while_loop(
+                cond, body, (slot0, jnp.int32(0), False))
+
+            @pl.when(done)
+            def _():
+                for l in range(num_lanes):
+                    keys_ref[0, l, slot] = lanes_ref[0, l, t]
+                counts_ref[0, 0, slot] = counts_ref[0, 0, slot] + contrib
+
+            @pl.when(jnp.logical_not(done))
+            def _():
+                ovf_ref[0, 0, 0] = ovf_ref[0, 0, 0] + 1
+
         return 0
 
-    n_chunks = (hi - lo + CH - 1) // CH
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, CH, elem_body, 0)
 
 
 def count_kmers_oa(kmers: jnp.ndarray, contrib: jnp.ndarray, k: int,
@@ -196,49 +202,54 @@ def count_kmers_oa(kmers: jnp.ndarray, contrib: jnp.ndarray, k: int,
     # Clamp to the representative prefix (rows past num_rep are padding).
     bounds = jnp.minimum(bounds, num_rep)
 
-    # Stage arrays padded so CH-wide DMA slices stay in bounds.
-    pad = CH
-    meta = jnp.stack([
-        jnp.concatenate([c_h.astype(jnp.int32),
-                         jnp.zeros((pad,), jnp.int32)]),
-        jnp.concatenate([c_contrib, jnp.zeros((pad,), jnp.int32)]),
-    ])                                                   # [2, n+pad]
-    lanes = jnp.stack(
-        [jnp.concatenate([c_lanes[j], jnp.zeros((pad,), jnp.uint32)])
-         for j in range(l)])                             # [L, n+pad]
+    # Per-block chunk budget: expected reps/block is TB*LOAD; a block may
+    # straddle chunk-row boundaries, hence the +2.
+    c_max = int(np.ceil(SLACK * TB * LOAD / CH)) + 2
+
+    # Chunk-row layout [R, ., CH] for the BlockSpec pipeline.
+    rows = -(-n // CH) + c_max + 1
+    pad = rows * CH - n
+
+    def to_rows(parts, dtype):
+        x = jnp.stack([jnp.concatenate(
+            [p, jnp.zeros((pad,), dtype)]) for p in parts])  # [D, rows*CH]
+        d = x.shape[0]
+        return x.reshape(d, rows, CH).transpose(1, 0, 2)     # [rows, D, CH]
+
+    meta = to_rows([c_h.astype(jnp.int32), c_contrib], jnp.int32)
+    lanes = to_rows(c_lanes, jnp.uint32)
+
+    def row_map(i, j, b):
+        return (jnp.minimum(b[i] // CH + j, rows - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((l, TB), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB,), lambda i, *_: (i,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, *_: (i,),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, CH), jnp.int32),
-            pltpu.VMEM((l, CH), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+        grid=(grid, c_max),
+        in_specs=[
+            pl.BlockSpec((1, 2, CH), row_map, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, l, CH), row_map, memory_space=pltpu.SMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, l, TB), lambda i, j, b: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TB), lambda i, j, b: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j, b: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
     )
-    import functools
     keys, counts, ovf = pl.pallas_call(
-        functools.partial(_insert_kernel, num_lanes=l),
+        functools.partial(_insert_kernel, num_lanes=l, c_max=c_max),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((l, grid * TB), jnp.uint32),
-            jax.ShapeDtypeStruct((grid * TB,), jnp.int32),
-            jax.ShapeDtypeStruct((grid,), jnp.int32),
+            jax.ShapeDtypeStruct((grid, l, TB), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, 1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((grid, 1, 1), jnp.int32),
         ),
         interpret=interpret,
     )(bounds, meta, lanes)
-    return OAHashTable(keys=keys, counts=counts,
+    return OAHashTable(keys=keys.transpose(1, 0, 2).reshape(l, grid * TB),
+                       counts=counts.reshape(grid * TB),
                        overflow=jnp.sum(ovf))
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["random_genome", "simulate_reads", "genome_kmer_table",
-           "mutate_genome"]
+           "mutate_genome", "plant_repeats"]
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
@@ -118,6 +118,25 @@ def mutate_genome(genome: str, n_snps: int, seed: int = 0,
         pos = rng.choice(cand, size=min(n_snps, cand.shape[0]),
                          replace=False)
     g[pos] = (g[pos] + rng.integers(1, 4, size=pos.shape[0])) % 4
+    return _codes_to_str(g)
+
+
+def plant_repeats(genome: str, repeat_len: int, n_copies: int,
+                  seed: int = 0, min_gap: int = 0) -> str:
+    """Overwrite ``n_copies`` loci with the SAME random repeat element.
+
+    At k <= repeat_len the copies collapse into one tangle of junctions;
+    k > repeat_len (or a multi-k schedule ending there) resolves them --
+    the scenario BASELINE config 4's multi-k iteration exists for.
+    """
+    g = _str_to_codes(genome)
+    rng = np.random.default_rng(seed)
+    rep = rng.integers(0, 4, size=repeat_len, dtype=np.uint8)
+    gap = max(min_gap, 2 * repeat_len)
+    cand = np.arange(gap, len(g) - repeat_len - gap, gap)
+    pos = rng.choice(cand, size=min(n_copies, cand.shape[0]), replace=False)
+    for p in pos:
+        g[p : p + repeat_len] = rep
     return _codes_to_str(g)
 
 

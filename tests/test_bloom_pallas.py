@@ -65,3 +65,39 @@ def test_packed_block_boundaries():
                                   interpret=True)
     q = np.asarray(BP.query_packed(words, canon, k, log2_bits, 8))
     assert q.all()
+
+
+def test_blocked_bloom_no_false_negatives_and_fpr():
+    k = 25
+    canon = canon_batch(4000, k)
+    mask = jnp.asarray(np.arange(4000) < 3000)
+    words, ovf = BP.build_blocked_bloom(
+        canon, k, mask, log2_bits=21, num_hashes=8, interpret=True,
+        return_overflow=True)
+    assert int(ovf) == 0
+    q = np.asarray(BP.query_blocked(words, canon, k, 21, 8))
+    assert q[:3000].all()          # no false negatives
+    # masked-out kmers are (almost surely) absent at this load factor
+    assert q[3000:].mean() < 0.05
+
+    probe = canon_batch(4000, k)
+    fpr = float(np.asarray(BP.query_blocked(probe, probe, k, 21, 8)).mean()) \
+        if False else float(np.asarray(
+            BP.query_blocked(words, probe, k, 21, 8)).mean())
+    assert fpr < 0.05
+
+
+def test_blocked_bloom_duplicates_and_empty():
+    k = 32
+    canon = canon_batch(64, k)
+    dup = jnp.concatenate([canon] * 4, axis=0)
+    words = BP.build_blocked_bloom(dup, k, jnp.ones(256, bool),
+                                   log2_bits=19, num_hashes=6,
+                                   interpret=True)
+    assert bool(jnp.all(BP.query_blocked(words, canon, k, 19, 6)))
+
+    w0, ovf0 = BP.build_blocked_bloom(
+        canon, k, jnp.zeros(64, bool), log2_bits=19, num_hashes=6,
+        interpret=True, return_overflow=True)
+    assert int(ovf0) == 0
+    assert int(jnp.sum(w0)) == 0

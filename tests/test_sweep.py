@@ -83,3 +83,16 @@ def test_mutate_genome_bubble_source():
     diff = [i for i, (a, b) in enumerate(zip(g, g2)) if a != b]
     assert len(diff) == 3
     assert all(diff[i + 1] - diff[i] >= 100 for i in range(len(diff) - 1))
+
+
+def test_plant_repeats():
+    g = sim.random_genome(5000, seed=40)
+    g2 = sim.plant_repeats(g, repeat_len=50, n_copies=4, seed=41)
+    assert len(g2) == len(g)
+    # find the repeat: it appears at >= 4 loci
+    # (reconstruct from the first difference region is overkill; just count
+    # occurrences of each planted window by brute force on a 50-mer that
+    # occurs multiple times)
+    from collections import Counter
+    c = Counter(g2[i:i+50] for i in range(len(g2) - 49))
+    assert c.most_common(1)[0][1] >= 4
