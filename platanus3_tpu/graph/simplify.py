@@ -138,3 +138,20 @@ def node_keep_mask(dbg_np, drop_unitigs: np.ndarray) -> np.ndarray:
     member_dropped = dropped[np.clip(uid, 0, len(dropped) - 1)] & (uid >= 0)
     keep &= ~member_dropped.any(axis=1)
     return keep
+
+
+def decide_drops(dbg_np, node_cov_np, config):
+    """One simplification round's decision: node keep mask, or None when
+    nothing to drop.  Shared by the single-shot pipeline and the
+    streaming pipeline (which re-accumulates coverage slice-wise after
+    each rebuild)."""
+    num_u = int(dbg_np.num_unitigs)
+    drop = np.zeros(num_u, bool)
+    if config.clip_tips:
+        drop |= tip_mask(dbg_np, config.k, config.tip_max_len)
+    if config.pop_bubbles:
+        ucov = unitig_coverage(dbg_np, np.asarray(node_cov_np))
+        drop |= bubble_mask(dbg_np, ucov, config.k)
+    if not drop.any():
+        return None, 0
+    return node_keep_mask(dbg_np, drop), int(drop.sum())

@@ -301,18 +301,10 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         from platanus3_tpu.graph import simplify as simp_mod
         for rnd in range(max(1, config.simplify_rounds)):
             dbg_np = jax.tree.map(np.asarray, dbg)
-            num_u = int(dbg_np.num_unitigs)
-            drop = np.zeros(num_u, bool)
-            if config.clip_tips:
-                drop |= simp_mod.tip_mask(dbg_np, config.k,
-                                          config.tip_max_len)
-            if config.pop_bubbles:
-                ucov = simp_mod.unitig_coverage(
-                    dbg_np, np.asarray(cov.node_cov))
-                drop |= simp_mod.bubble_mask(dbg_np, ucov, config.k)
-            if not drop.any():
+            keep, n_drop = simp_mod.decide_drops(
+                dbg_np, np.asarray(cov.node_cov), config)
+            if keep is None:
                 break
-            keep = simp_mod.node_keep_mask(dbg_np, drop)
             kept_keys = np.asarray(dbg_np.nodes)[keep]
             n_keep = kept_keys.shape[0]
             cap2 = max(8, _next_pow2(n_keep))
@@ -331,7 +323,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
                 nid = jnp.where(nid >= 0, remap[jnp.clip(nid, 0, None)], -1)
             cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)
             log.write(f"simplify round {rnd + 1}: dropped "
-                      f"{int(drop.sum())} unitigs, {n_keep} nodes left")
+                      f"{n_drop} unitigs, {n_keep} nodes left")
 
     if not config.restrict_to_seeds:
         reach_jun = jnp.ones_like(reach_jun)

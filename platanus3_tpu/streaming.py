@@ -238,15 +238,44 @@ def assemble_streaming(source, config: AssemblyConfig,
     log.write("[streaming] graph built")
 
     # ---- pass 3: coverage accumulation ----
-    m = nodes.shape[0]
-    node_cov = jnp.zeros((m,), jnp.int32)
-    jun_tally = jnp.zeros((m, 8), jnp.int32)
-    for lo, hi in _slices(c_total, slice_chunks):
-        packed, vlen, rid, start, rlen, pb, nb = slice_arrays(lo, hi)
-        node_cov, jun_tally = _cov_slice(
-            dbg, packed, vlen, start, rlen, pb, nb, node_cov, jun_tally,
-            k=k)
-    cov = cov_mod.CoverageResult(node_cov=node_cov, jun_tally=jun_tally)
+    def accumulate_coverage(dbg):
+        m = dbg.nodes.shape[0]
+        node_cov = jnp.zeros((m,), jnp.int32)
+        jun_tally = jnp.zeros((m, 8), jnp.int32)
+        for lo, hi in _slices(c_total, slice_chunks):
+            packed, vlen, rid, start, rlen, pb, nb = slice_arrays(lo, hi)
+            node_cov, jun_tally = _cov_slice(
+                dbg, packed, vlen, start, rlen, pb, nb, node_cov,
+                jun_tally, k=k)
+        return cov_mod.CoverageResult(node_cov=node_cov,
+                                      jun_tally=jun_tally)
+
+    cov = accumulate_coverage(dbg)
+
+    # ---- simplification rounds (tips / bubbles), streaming variant ----
+    # Decisions run host-side on genome-sized graph arrays; each round's
+    # coverage refresh is another slice-wise pass over the reads.
+    if config.clip_tips or config.pop_bubbles:
+        from platanus3_tpu.graph import simplify as simp_mod
+        for rnd in range(max(1, config.simplify_rounds)):
+            dbg_np = jax.tree.map(np.asarray, dbg)
+            keep, n_drop = simp_mod.decide_drops(
+                dbg_np, np.asarray(cov.node_cov), config)
+            if keep is None:
+                break
+            kept_keys = np.asarray(dbg_np.nodes)[keep]
+            n_keep = kept_keys.shape[0]
+            cap2 = max(8, _next_pow2(n_keep))
+            padk = np.full((cap2 - n_keep, kept_keys.shape[1]),
+                           np.uint32(0xFFFFFFFF))
+            nodes = jnp.asarray(np.concatenate([kept_keys, padk]))
+            dbg = _stage2(nodes, jnp.asarray(n_keep, jnp.int32), bf, k=k,
+                          use_exact=True)
+            cov = accumulate_coverage(dbg)
+            log.write(f"[streaming] simplify round {rnd + 1}: dropped "
+                      f"{n_drop} unitigs, {n_keep} nodes left")
+        num_nodes = int(dbg.size)
+
     reach_jun, reach_uni = reach_mod.reachable(dbg, seed_fw, has_seed, k)
     chars = seq_mod.member_chars(dbg, k)
     if not config.restrict_to_seeds:

@@ -56,3 +56,25 @@ def test_streaming_cap_overflow_raises():
     with pytest.raises(RuntimeError, match="short_cap"):
         assemble_streaming(reads, cfg(), write_output=False,
                            slice_chunks=16, short_cap=64)
+
+
+def test_streaming_simplify_matches_single_shot():
+    # Tips+bubbles through the STREAMING pipeline == single-shot pipeline.
+    import dataclasses
+    from platanus3_tpu import sim
+    from platanus3_tpu.pipeline import assemble
+    from platanus3_tpu.streaming import assemble_streaming
+    from platanus3_tpu.config import AssemblyConfig
+
+    hap1 = sim.random_genome(3000, seed=60)
+    hap2 = sim.mutate_genome(hap1, 2, seed=61, min_gap=300)
+    reads = (sim.simulate_reads(hap1, 15, 300, seed=62, sub_rate=0.004)
+             + sim.simulate_reads(hap2, 15, 300, seed=63, sub_rate=0.004))
+    cfg = AssemblyConfig(k=25, cov_threshold=3, chunk_len=256,
+                         clip_tips=True, pop_bubbles=True,
+                         log_path=None, gfa_path="/tmp/ts_simp.gfa")
+    a = assemble(reads, cfg, write_output=False)
+    b = assemble_streaming(reads, cfg, write_output=False,
+                           slice_chunks=16)
+    assert sorted(a.gfa_lines) == sorted(b.gfa_lines)
+    assert a.num_straights == b.num_straights
