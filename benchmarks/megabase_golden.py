@@ -1,5 +1,10 @@
 """1 Mb golden + perf vs reference at k=25 (supported by ref), stage timing."""
 import subprocess, time, os
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 from collections import Counter
 def p(*a): print(*a, flush=True)

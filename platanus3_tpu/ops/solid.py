@@ -170,11 +170,16 @@ def first_solid_per_read(result: SolidResult, read_id, start, num_reads: int):
         gpos_masked.reshape(-1), flat_rid, num_segments=num_reads)
     # fetch the fw k-mer at that position: scatter (read, pos) -> row index
     is_first = solid_owned & (gpos == min_pos[read_id][:, None])
-    # At most one position per read matches; scatter its fw lanes.
-    seed = jnp.zeros((num_reads, l), dtype=jnp.uint32)
+    # At most one position per read matches; scatter its fw lanes.  One
+    # 1-D scatter per lane: a single scatter of [N, L] updates forces XLA
+    # to materialize a row-major copy whose minor dim (L) pads to the
+    # 128-lane tile -- a 64x HBM blowup at L=2 (observed OOM at 60M
+    # positions).
     rid_b = jnp.broadcast_to(read_id[:, None], (c, pk))
-    tgt = jnp.where(is_first, rid_b, num_reads)  # drop non-firsts
-    seed = seed.at[tgt.reshape(-1)].max(
-        result.fw.reshape(-1, l), mode="drop")
+    tgt = jnp.where(is_first, rid_b, num_reads).reshape(-1)  # drop others
+    seed = jnp.stack(
+        [jnp.zeros((num_reads,), dtype=jnp.uint32).at[tgt].max(
+            result.fw[..., j].reshape(-1), mode="drop")
+         for j in range(l)], axis=-1)
     has_seed = min_pos < big
     return seed, has_seed

@@ -111,9 +111,13 @@ def _solid_slice(packed, valid_len, read_id, start, read_len, short_table,
     new_min = jnp.minimum(min_pos, batch_min)
     is_first = solid_owned & (gpos == new_min[read_id][:, None])
     rid_b = jnp.broadcast_to(read_id[:, None], (c, pk))
-    tgt = jnp.where(is_first, rid_b, num_reads)
-    batch_seed = jnp.zeros((num_reads, lk), dtype=jnp.uint32).at[
-        tgt.reshape(-1)].max(fwk.reshape(-1, lk), mode="drop")
+    tgt = jnp.where(is_first, rid_b, num_reads).reshape(-1)
+    # per-lane 1-D scatters (see ops/solid.py: [N, L] scatter updates
+    # force a lane-padded row-major copy, 64x HBM at L=2)
+    batch_seed = jnp.stack(
+        [jnp.zeros((num_reads,), dtype=jnp.uint32).at[tgt].max(
+            fwk[..., j].reshape(-1), mode="drop") for j in range(lk)],
+        axis=-1)
     seed_fw = jnp.where((batch_min < min_pos)[:, None] &
                         (batch_min <= new_min)[:, None],
                         batch_seed, seed_fw)
