@@ -51,10 +51,12 @@ __all__ = ["assemble", "AssemblyResult"]
 # backend doesn't support serialization.
 try:  # pragma: no cover
     import os as _os
-    jax.config.update("jax_compilation_cache_dir",
-                      _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                      "/root/.cache/jax_p3"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                          "/root/.cache/jax_p3"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
 

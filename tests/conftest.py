@@ -18,3 +18,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache for the test suite: the shard_map pipeline
+# programs dominate suite wall-clock (~60 s/compile set); with the cache
+# warm a full run is minutes faster.  Threshold is aggressive (0.5 s)
+# because these are many medium-sized compiles, not a few huge ones.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_p3_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
