@@ -75,9 +75,12 @@ def main():
             (packed, valid_len, read_id, start, read_len_a),
             k, short_k, cov_threshold, bf, add_to_bloom=False)
         l = result.canon.shape[-1]
-        table = count_mod.count_kmers(
+        # Same one-sort node-table+ids build the production pipeline's
+        # stage 1 performs (pipeline._stage1).
+        table, _nid = count_mod.count_solid_with_ids(
             result.canon.reshape(-1, l),
-            (result.is_solid & result.owned).reshape(-1))
+            result.owned.reshape(-1),
+            (result.is_solid & result.owned).reshape(-1), k=k)
         return table.size, table.keys
 
     args = [

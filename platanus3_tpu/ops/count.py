@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["KmerTable", "sort_kmers", "count_kmers", "count_with_positions",
-           "count_solid_with_ids", "lookup", "merge_tables"]
+           "count_positions_table", "count_solid_with_ids", "lookup",
+           "merge_tables"]
 
 
 class KmerTable(NamedTuple):
@@ -56,15 +57,42 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def sort_kmers(kmers: jnp.ndarray, invalid: jnp.ndarray, *payloads):
+def _has_spare_msb(kmers: jnp.ndarray, k: int | None) -> bool:
+    """True when lane 0 of a k-mer provably never uses bit 31, so the
+    invalid flag can ride there instead of as a separate sort operand."""
+    if k is None:
+        return False
+    l = kmers.shape[-1]
+    top_bits = 2 * k - 32 * (l - 1)  # significant bits in lane 0
+    return 0 < top_bits < 32
+
+
+_MSB = np.uint32(0x80000000)
+_NOT_MSB = np.uint32(0x7FFFFFFF)
+
+
+def sort_kmers(kmers: jnp.ndarray, invalid: jnp.ndarray, *payloads,
+               k: int | None = None):
     """Stable sort of ``[N, L]`` keys with invalids last.
 
     Returns ``(sorted_kmers [N, L], sorted_invalid [N], *sorted_payloads)``.
-    Uses ``jax.lax.sort`` with L+1 key operands: a leading invalid flag then
-    the lanes MSB-first -- this is the reference's canonical-k-mer ordering
-    (``CompareBit``) lifted to a bulk sort.
+    Uses ``jax.lax.sort`` with the lanes MSB-first as keys -- this is the
+    reference's canonical-k-mer ordering (``CompareBit``) lifted to a bulk
+    sort.  The invalid flag is a leading extra key operand, EXCEPT when
+    ``k`` is given and ``2k mod 32 != 0``: then lane 0's top bit is
+    provably spare (the 2k-bit value is low-aligned, ops/kmer.py) and the
+    flag is folded into it, saving one 4N-byte sort operand on the hot
+    path.  Ordering is identical either way: valid keys in lex order,
+    then invalid rows (by masked key bits, then input order).
     """
     n, l = kmers.shape
+    if _has_spare_msb(kmers, k):
+        lane0 = jnp.where(invalid, kmers[:, 0] | _MSB, kmers[:, 0])
+        ops = [lane0] + [kmers[:, j] for j in range(1, l)] + list(payloads)
+        out = jax.lax.sort(tuple(ops), num_keys=l, is_stable=True)
+        s_invalid = (out[0] & _MSB) > 0
+        s_kmers = jnp.stack((out[0] & _NOT_MSB,) + out[1:l], axis=-1)
+        return (s_kmers, s_invalid) + tuple(out[l:])
     ops = [invalid.astype(jnp.uint32)] + [kmers[:, j] for j in range(l)]
     ops += list(payloads)
     out = jax.lax.sort(tuple(ops), num_keys=l + 1, is_stable=True)
@@ -83,18 +111,20 @@ def _boundaries(s_kmers: jnp.ndarray, s_invalid: jnp.ndarray):
     return is_first, seg_id
 
 
-def count_kmers(kmers: jnp.ndarray, valid: jnp.ndarray) -> KmerTable:
+def count_kmers(kmers: jnp.ndarray, valid: jnp.ndarray,
+                k: int | None = None) -> KmerTable:
     """Count unique canonical k-mers of a flat batch ``[N, L]``.
 
     Capacity of the returned table is N (static); ``size`` is the dynamic
     unique count.  Replaces hot loop #1 (``src/Load.cpp:118-124``).
     """
-    t, _ = count_with_positions(kmers, valid)
+    t, _ = count_with_positions(kmers, valid, k=k)
     return t
 
 
 def count_with_positions(kmers: jnp.ndarray, valid: jnp.ndarray,
-                         contributes: jnp.ndarray | None = None):
+                         contributes: jnp.ndarray | None = None,
+                         k: int | None = None):
     """Count AND return the count of each input position's k-mer.
 
     Returns ``(KmerTable, per_position_counts [N] int32)`` where invalid
@@ -111,10 +141,13 @@ def count_with_positions(kmers: jnp.ndarray, valid: jnp.ndarray,
     n, l = kmers.shape
     if contributes is None:
         contributes = valid
-    idx = jnp.arange(n, dtype=jnp.int32)
-    s_kmers, s_invalid, s_idx, s_contrib = sort_kmers(
-        kmers, ~valid, idx, (contributes & valid).astype(jnp.int32)
-    )
+    # The contrib bit rides in the index payload's top bit (n < 2^31),
+    # saving a 4N-byte sort operand.
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    idx_packed = idx | jnp.where(contributes & valid, _MSB, np.uint32(0))
+    s_kmers, s_invalid, s_idxp = sort_kmers(kmers, ~valid, idx_packed, k=k)
+    s_idx = (s_idxp & _NOT_MSB).astype(jnp.int32)
+    s_contrib = (s_idxp >> 31).astype(jnp.int32)
     is_first, seg_id = _boundaries(s_kmers, s_invalid)
 
     seg_count = jax.ops.segment_sum(
@@ -140,8 +173,48 @@ def count_with_positions(kmers: jnp.ndarray, valid: jnp.ndarray,
     return KmerTable(keys=keys, counts=counts, size=size), per_pos
 
 
+def count_positions_table(kmers: jnp.ndarray, valid: jnp.ndarray,
+                          contributes: jnp.ndarray, k: int | None = None):
+    """Per-position counts AND the contributing-unique table from ONE sort.
+
+    Fuses what was previously two full sorts in the solidity stage
+    (``count_with_positions`` for the per-position short-k counts feeding
+    the window-min, then ``count_kmers`` for the exact short-k table):
+    the table of k-mers with >= 1 contributing occurrence is compacted out
+    of the same sorted run the per-position counts come from.
+
+    Returns ``(KmerTable, per_position_counts [N] int32)``; the table is
+    exactly ``count_kmers(kmers, contributes & valid)`` and the counts are
+    exactly ``count_with_positions(kmers, valid, contributes)[1]``.
+    """
+    n, l = kmers.shape
+    contributes = contributes & valid
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    idx_packed = idx | jnp.where(contributes, _MSB, np.uint32(0))
+    s_kmers, s_invalid, s_idxp = sort_kmers(kmers, ~valid, idx_packed, k=k)
+    s_idx = (s_idxp & _NOT_MSB).astype(jnp.int32)
+    s_contrib = (s_idxp >> 31).astype(jnp.int32)
+    is_first, seg_id = _boundaries(s_kmers, s_invalid)
+    seg_count = jax.ops.segment_sum(
+        jnp.where(s_invalid, 0, s_contrib), seg_id, num_segments=n)
+    # Compact segments with >= 1 contribution into table rows (rank among
+    # contributing segments, as in count_solid_with_ids).
+    row_in_table = (seg_count[seg_id] > 0) & ~s_invalid
+    tab_first = is_first & row_in_table
+    tab_rank = jnp.cumsum(tab_first.astype(jnp.int32)) - 1
+    size = jnp.sum(tab_first.astype(jnp.int32)).astype(jnp.int32)
+    pad = jnp.full((n, l), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+    tgt = jnp.where(tab_first, tab_rank, n)
+    keys = pad.at[tgt].set(s_kmers, mode="drop")
+    counts = jnp.zeros((n,), jnp.int32).at[tgt].set(
+        seg_count[seg_id], mode="drop")
+    per_pos = jnp.zeros((n,), dtype=jnp.int32).at[s_idx].set(
+        jnp.where(s_invalid, 0, seg_count[seg_id]))
+    return KmerTable(keys=keys, counts=counts, size=size), per_pos
+
+
 def count_solid_with_ids(kmers: jnp.ndarray, valid: jnp.ndarray,
-                         contributes: jnp.ndarray):
+                         contributes: jnp.ndarray, k: int | None = None):
     """Solid-node table AND per-position node ids from ONE sort.
 
     ``kmers [N, L]``: canonical k-mer at every read position;
@@ -163,9 +236,11 @@ def count_solid_with_ids(kmers: jnp.ndarray, valid: jnp.ndarray,
     """
     n, l = kmers.shape
     contributes = contributes & valid
-    idx = jnp.arange(n, dtype=jnp.int32)
-    s_kmers, s_invalid, s_idx, s_contrib = sort_kmers(
-        kmers, ~valid, idx, contributes.astype(jnp.int32))
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    idx_packed = idx | jnp.where(contributes, _MSB, np.uint32(0))
+    s_kmers, s_invalid, s_idxp = sort_kmers(kmers, ~valid, idx_packed, k=k)
+    s_idx = (s_idxp & _NOT_MSB).astype(jnp.int32)
+    s_contrib = (s_idxp >> 31).astype(jnp.int32)
     is_first, seg_id = _boundaries(s_kmers, s_invalid)
     seg_count = jax.ops.segment_sum(
         jnp.where(s_invalid, 0, s_contrib), seg_id, num_segments=n)

@@ -111,18 +111,16 @@ def solid_kmers(batch_arrays, k: int, short_k: int, cov_threshold: int,
     stride = chunk_len - k + 1
 
     # ---- stage A: exact short-k counting (hot loop #1 replacement) ----
+    # ONE sort yields both the per-position counts the window-min consumes
+    # and the exact count table (checkpointable; the reference discards the
+    # map after MakeBF).
     s_canon, s_valid, s_owned = short_kmer_positions(
         bases, valid_len, start, read_len, stride, short_k, k)
     l_s = s_canon.shape[-1]
-    _, per_pos = count_mod.count_with_positions(
+    short_table, per_pos = count_mod.count_positions_table(
         s_canon.reshape(-1, l_s), s_valid.reshape(-1),
-        s_owned.reshape(-1))
+        s_owned.reshape(-1), k=short_k)
     short_counts = per_pos.reshape(c, -1)  # [C, P_short]
-
-    # Also keep the exact table (checkpointable; the reference discards the
-    # map after MakeBF).
-    short_table = count_mod.count_kmers(
-        s_canon.reshape(-1, l_s), s_owned.reshape(-1))
 
     # ---- stage B: window-min solidity (hot loops #2-#3 replacement) ----
     w = k - short_k + 1

@@ -122,7 +122,7 @@ def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
     r_valid = recv_flags > 0
     r_contrib = recv_flags == 2
     table, r_counts = count_mod.count_with_positions(
-        recv_kmers, r_valid, r_contrib)
+        recv_kmers, r_valid, r_contrib, k=k)
 
     # ---- counts ride back ----
     counts_back = a2a(r_counts.reshape(n, cap)).reshape(n * cap)
@@ -232,6 +232,6 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         jnp.asarray(start), jnp.asarray(read_len), bf.bits)
 
     # Merge shard-unique node sets into one sorted global table.
-    node_table = count_mod.count_kmers(shard_keys, shard_valid)
+    node_table = count_mod.count_kmers(shard_keys, shard_valid, k=k)
     return (node_table, bf._replace(bits=bits), seed_fw, has_seed,
             jnp.max(ovf))

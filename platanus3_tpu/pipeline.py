@@ -93,7 +93,7 @@ def _stage1(packed, valid_len, read_id, start, read_len, bf, cov_threshold, *,
     node_table, nid = count_mod.count_solid_with_ids(
         result.canon.reshape(-1, l),
         result.owned.reshape(-1),
-        (result.is_solid & result.owned).reshape(-1))
+        (result.is_solid & result.owned).reshape(-1), k=k)
     return (node_table, bf, seed_fw, has_seed, result.short_table,
             nid.reshape(c, pk))
 

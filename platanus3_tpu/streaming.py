@@ -61,7 +61,7 @@ def _count_slice(packed, valid_len, start, read_len, dst_table, *,
         bases, valid_len, start, read_len, stride, short_k, k)
     l = s_canon.shape[-1]
     batch_table = count_mod.count_kmers(
-        s_canon.reshape(-1, l), s_owned.reshape(-1))
+        s_canon.reshape(-1, l), s_owned.reshape(-1), k=short_k)
     return count_mod.merge_into(dst_table, batch_table, short_cap)
 
 
@@ -93,7 +93,7 @@ def _solid_slice(packed, valid_len, read_id, start, read_len, short_table,
 
     lk = canon_k.shape[-1]
     batch_nodes = count_mod.count_kmers(
-        canon_k.reshape(-1, lk), solid_owned.reshape(-1))
+        canon_k.reshape(-1, lk), solid_owned.reshape(-1), k=k)
     node_table = count_mod.merge_into(node_table, batch_nodes, node_cap)
 
     if add_to_bloom:

@@ -66,7 +66,7 @@ def _kmer_max_cov(packed, valid_len, read_id, start, read_len, *,
     cov = jnp.where(owned, result.cov_est.reshape(-1), -1)
 
     n = canon.shape[0]
-    s_kmers, s_invalid, s_cov = count_mod.sort_kmers(canon, ~owned, cov)
+    s_kmers, s_invalid, s_cov = count_mod.sort_kmers(canon, ~owned, cov, k=k)
     is_first, seg_id = count_mod._boundaries(s_kmers, s_invalid)
     seg_max = jax.ops.segment_max(
         jnp.where(s_invalid, -1, s_cov), seg_id, num_segments=n)
