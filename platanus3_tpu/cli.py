@@ -65,6 +65,10 @@ def build_parser():
                    help="streaming: log2 capacity for solid nodes "
                         "(0 = auto)")
     p.add_argument("-o", "--output", default="./de_bruijn_graph.gfa")
+    p.add_argument("--fasta-out", default="",
+                   help="also export assembled contigs (unitigs) as FASTA")
+    p.add_argument("--min-contig", type=int, default=0,
+                   help="minimum contig length for --fasta-out")
     p.add_argument("--log", default="./platanus3.log")
     p.add_argument("--checkpoint-dir", default="",
                    help="directory for stage checkpoints (resume support)")
@@ -125,6 +129,11 @@ def main(argv=None):
         res = assemble(args.readfile, cfg, log=log, mesh=mesh)
     print(f"wrote {cfg.gfa_path}: {res.num_straights} straights, "
           f"{res.num_junctions} junctions")
+    if args.fasta_out:
+        from platanus3_tpu.io import gfa as gfa_mod
+        n = gfa_mod.write_contig_fasta(args.fasta_out, res.gfa_lines,
+                                       min_len=args.min_contig)
+        print(f"wrote {args.fasta_out}: {n} contigs")
     return 0
 
 

@@ -34,7 +34,8 @@ import numpy as np
 
 from platanus3_tpu.ops import kmer as kmer_mod
 
-__all__ = ["gfa_lines", "write_gfa", "sequences_from_pack"]
+__all__ = ["gfa_lines", "write_gfa", "sequences_from_pack",
+           "contig_fasta_lines", "write_contig_fasta"]
 
 _ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
 
@@ -128,3 +129,37 @@ def write_gfa(path, jun_pack, seq_pack, reach_uni, num_unitigs, m, k):
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return len(lines)
+
+
+def contig_fasta_lines(gfa, min_len: int = 0, include_junctions: bool = False):
+    """Contig FASTA records derived from rendered GFA ``S`` lines.
+
+    The reference emits only GFA (its consensus/FASTA stage is absent,
+    ``README.md:1-3``); this framework additionally exports the assembled
+    unitigs as contigs.  Deriving from the S lines keeps the record set
+    identical to the graph output across all assembly modes (single-shot,
+    streaming, multi-k).  Names and order follow the GFA segment names;
+    headers carry the length and the ``KC`` tag.
+    """
+    out = []
+    for line in gfa:
+        if not line.startswith("S\t"):
+            continue
+        _, name, seq, tag = line.split("\t", 3)
+        if not include_junctions and not name.startswith("Straight_"):
+            continue
+        if len(seq) < min_len:
+            continue
+        out.append(f">{name} length={len(seq)} {tag}")
+        out.append(seq)
+    return out
+
+
+def write_contig_fasta(path, gfa, min_len: int = 0,
+                       include_junctions: bool = False) -> int:
+    """Write contigs (see :func:`contig_fasta_lines`); returns #records."""
+    lines = contig_fasta_lines(gfa, min_len, include_junctions)
+    with open(path, "w") as f:
+        if lines:
+            f.write("\n".join(lines) + "\n")
+    return len(lines) // 2

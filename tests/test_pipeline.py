@@ -126,3 +126,24 @@ def test_restrict_to_seeds_off_keeps_everything():
                    write_output=False)
     straights, junctions, _ = parse(res.gfa_lines)
     assert len(straights) == 1 and len(junctions) == 2
+
+
+def test_contig_fasta_export(tmp_path):
+    from platanus3_tpu.io import gfa as gfa_mod
+    read = rand_genome(120)
+    res = assemble([read, read], cfg(k=25), write_output=False)
+    path = tmp_path / "contigs.fasta"
+    n = gfa_mod.write_contig_fasta(str(path), res.gfa_lines)
+    text = path.read_text().splitlines()
+    assert n == res.num_straights == 1
+    assert text[0].startswith(">Straight_1 length=")
+    # record sequence matches the GFA straight segment
+    straights, _, _ = parse(res.gfa_lines)
+    assert text[1] == straights[0]
+    # min_len filters everything out
+    assert gfa_mod.write_contig_fasta(str(path), res.gfa_lines,
+                                      min_len=10**6) == 0
+    # junctions included on request (k-mer records)
+    lines = gfa_mod.contig_fasta_lines(res.gfa_lines,
+                                       include_junctions=True)
+    assert sum(1 for l in lines if l.startswith(">Junction_")) == 2
