@@ -72,6 +72,12 @@ def build_parser():
     p.add_argument("--log", default="./platanus3.log")
     p.add_argument("--checkpoint-dir", default="",
                    help="directory for stage checkpoints (resume support)")
+    p.add_argument("--trace-dir", default="",
+                   help="write a jax.profiler trace of the run here "
+                        "(open with Perfetto / TensorBoard)")
+    p.add_argument("--profile-stages", action="store_true",
+                   help="barrier at stage boundaries so the logged "
+                        "per-stage breakdown is exact")
     p.add_argument("--echo-log", action="store_true")
     return p
 
@@ -105,6 +111,8 @@ def main(argv=None):
         gfa_path=args.output,
         log_path=args.log,
         checkpoint_dir=args.checkpoint_dir,
+        trace_dir=args.trace_dir,
+        profile_stages=args.profile_stages,
     )
     log = PipelineLog(cfg.log_path, echo=args.echo_log)
 

@@ -83,6 +83,16 @@ class AssemblyConfig:
     checkpoint_dir: str = ""        # "" = disabled; else stage outputs are
                                     # cached and re-runs resume past them
 
+    # --- observability (new vs reference; SURVEY.md §5 tracing row) ---
+    trace_dir: str = ""             # "" = off; else a jax.profiler trace of
+                                    # the whole run is written here
+                                    # (TensorBoard / Perfetto readable)
+    profile_stages: bool = False    # insert device barriers at stage
+                                    # boundaries so the per-stage wall-clock
+                                    # breakdown is exact (off: spans are
+                                    # recorded but async dispatch may shift
+                                    # time across stages)
+
     def auto_filter_bits(self, all_bases: int) -> tuple[int, int]:
         """Bloom sizing -> (bits, num_hashes).
 

@@ -43,6 +43,7 @@ from platanus3_tpu.ops import count as count_mod
 from platanus3_tpu.ops import kmer as kmer_mod
 from platanus3_tpu.ops import solid as solid_mod
 from platanus3_tpu.utils.logging import PipelineLog
+from platanus3_tpu.utils.profiling import StageTimer, device_trace
 
 __all__ = ["assemble", "AssemblyResult"]
 
@@ -161,9 +162,20 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     runs data-parallel with a hash-prefix-sharded count table and
     allreduce-merged Bloom (parallel/sharded.py).  The result is
     bitwise-identical to the single-device path.
+
+    Observability (SURVEY.md §5): ``config.trace_dir`` wraps the run in a
+    ``jax.profiler`` trace (Perfetto/TensorBoard readable);
+    ``config.profile_stages`` makes the per-stage wall-clock breakdown in
+    ``result.stats['stages']`` barrier-exact.
     """
+    with device_trace(config.trace_dir):
+        return _assemble_impl(source, config, log, write_output, mesh)
+
+
+def _assemble_impl(source, config, log, write_output, mesh):
     log = log or PipelineLog(config.log_path, echo=False)
     t0 = time.time()
+    timer = StageTimer(barriers=config.profile_stages)
     log.write("Assemble")
 
     # ---- load ----
@@ -176,6 +188,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         batch = reads_mod.load_reads(source, config.k, config.chunk_len)
     log.write(f"read file loaded ({batch.num_reads} reads, "
               f"{batch.all_bases} bases, {batch.num_chunks} chunks)")
+    timer.mark("load")
 
     if batch.num_reads == 0:
         # All reads shorter than k (dropped, src/Load.cpp:59,86) or empty
@@ -268,6 +281,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     log.write(f"counted short kmer; bloom filter loaded; "
               f"solid nodes={num_nodes}")
     log.metric("seed kmer num", int(jnp.sum(has_seed)))
+    timer.mark("stage1_count_solid", sync=(table.counts, bf.bits))
 
     # ---- compact node table to a power-of-two capacity ----
     cap = max(8, _next_pow2(num_nodes))
@@ -284,6 +298,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     dbg = _stage2(nodes, size, bf, k=config.k,
                   use_exact=config.use_exact_membership)
     log.write("de bruijn graph loaded")
+    timer.mark("stage2_graph", sync=dbg)
 
     # ---- stage 3: coverage + reachability ----
     nid_dummy = jnp.zeros((1, 1), jnp.int32)
@@ -297,6 +312,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
 
     cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)
     log.write("count node coverage")
+    timer.mark("stage3_coverage", sync=(cov, reach_jun))
 
     # ---- graph simplification rounds (tips / bubbles; new vs ref) ----
     if config.clip_tips or config.pop_bubbles:
@@ -326,6 +342,7 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
             cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)
             log.write(f"simplify round {rnd + 1}: dropped "
                       f"{n_drop} unitigs, {n_keep} nodes left")
+        timer.mark("simplify", sync=(cov, reach_jun))
 
     if not config.restrict_to_seeds:
         reach_jun = jnp.ones_like(reach_jun)
@@ -337,10 +354,14 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     if write_output:
         with open(config.gfa_path, "w") as f:
             f.write("\n".join(lines) + "\n")
+    timer.mark("stage4_emit")
     n_s = sum(1 for ln in lines if ln.startswith("S\tStraight"))
     n_j = sum(1 for ln in lines if ln.startswith("S\tJunction"))
     log.write(f"finish ({time.time() - t0:.2f}s, {n_s} straights, "
               f"{n_j} junctions)")
+    if timer.spans:
+        log.write("stage breakdown: " + "; ".join(
+            f"{name}={dt:.3f}s" for name, dt in timer.spans.items()))
 
     return AssemblyResult(
         gfa_lines=lines, straight_seqs=seqs, dbg=dbg, cov=cov,
@@ -349,5 +370,6 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
         stats={"elapsed_s": time.time() - t0,
                "all_bases": batch.all_bases,
                "num_reads": batch.num_reads,
-               "solid_nodes": num_nodes},
+               "solid_nodes": num_nodes,
+               "stages": dict(timer.spans)},
     )

@@ -29,8 +29,24 @@ class StageTimer:
     """Accumulates named wall-clock spans; fetch-based barriers are the
     caller's job (see bench.py notes on the tunneled backend)."""
 
-    def __init__(self):
+    def __init__(self, barriers: bool = False):
         self.spans = {}
+        self.barriers = barriers
+        self._last = time.time()
+
+    def mark(self, name: str, sync=None):
+        """Record time since the previous mark as span ``name``.
+
+        ``sync``: optional pytree of device arrays; when the timer was
+        built with ``barriers=True`` they are blocked on first, so the
+        span measures actual device completion rather than dispatch.
+        """
+        if self.barriers and sync is not None:
+            import jax
+            jax.block_until_ready(sync)
+        now = time.time()
+        self.spans[name] = self.spans.get(name, 0.0) + now - self._last
+        self._last = now
 
     @contextlib.contextmanager
     def span(self, name: str):
