@@ -151,6 +151,28 @@ def hashlib_digest(arr) -> str:
     return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
 
 
+def _save_stage3(ckpt, dbg, cov, reach_jun, reach_uni, chars):
+    """Persist the post-simplify graph + coverage so a resume skips
+    straight to emission (VERDICT r1 item 7)."""
+    arrs = {f"dbg{i}": np.asarray(x) for i, x in enumerate(dbg)}
+    arrs.update(node_cov=np.asarray(cov.node_cov),
+                jun_tally=np.asarray(cov.jun_tally),
+                reach_jun=np.asarray(reach_jun),
+                reach_uni=np.asarray(reach_uni),
+                chars=np.asarray(chars))
+    ckpt.save("stage3", **arrs)
+
+
+def _load_stage3(ckpt):
+    d = ckpt.load("stage3")
+    n_dbg = len(build_mod.DBG._fields)
+    dbg = build_mod.DBG(*[jnp.asarray(d[f"dbg{i}"]) for i in range(n_dbg)])
+    cov = cov_mod.CoverageResult(node_cov=jnp.asarray(d["node_cov"]),
+                                 jun_tally=jnp.asarray(d["jun_tally"]))
+    return (dbg, cov, jnp.asarray(d["reach_jun"]),
+            jnp.asarray(d["reach_uni"]), jnp.asarray(d["chars"]))
+
+
 def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
              write_output: bool = True, mesh=None) -> AssemblyResult:
     """Assemble reads -> GFA.
@@ -231,6 +253,11 @@ def _assemble_impl(source, config, log, write_output, mesh):
                           config.filter_policy, config.filter_bits,
                           config.chunk_len, need_bloom, batch.num_reads,
                           batch.all_bases,
+                          # stage-2/3-relevant knobs (their outputs are
+                          # checkpointed too):
+                          config.use_exact_membership, config.clip_tips,
+                          config.pop_bubbles, config.simplify_rounds,
+                          config.tip_max_len,
                           hashlib_digest(batch.packed)))
     if ckpt is not None and ckpt.has("stage1"):
         d = ckpt.load("stage1")
@@ -295,8 +322,22 @@ def _assemble_impl(source, config, log, write_output, mesh):
     size = jnp.asarray(num_nodes, jnp.int32)
 
     # ---- stage 2: graph ----
-    dbg = _stage2(nodes, size, bf, k=config.k,
-                  use_exact=config.use_exact_membership)
+    restored3 = ckpt is not None and ckpt.has("stage3")
+    if restored3:
+        dbg = None  # stage3 checkpoint carries the final (post-simplify)
+        # graph; stage 2 is skipped entirely.
+    elif ckpt is not None and ckpt.has("stage2"):
+        d = ckpt.load("stage2")
+        dbg = build_mod.DBG(
+            *[jnp.asarray(d[f"leaf{i}"])
+              for i in range(len(build_mod.DBG._fields))])
+        log.write("stage2 restored from checkpoint")
+    else:
+        dbg = _stage2(nodes, size, bf, k=config.k,
+                      use_exact=config.use_exact_membership)
+        if ckpt is not None:
+            ckpt.save_pytree("stage2", dbg)
+            log.write("stage2 checkpoint saved")
     log.write("de bruijn graph loaded")
     timer.mark("stage2_graph", sync=dbg)
 
@@ -310,12 +351,16 @@ def _assemble_impl(source, config, log, write_output, mesh):
             seed_fw, has_seed, nid if nid is not None else nid_dummy,
             k=config.k, has_nid=nid is not None)
 
-    cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)
-    log.write("count node coverage")
+    if restored3:
+        dbg, cov, reach_jun, reach_uni, chars = _load_stage3(ckpt)
+        log.write("stage3 restored from checkpoint (skip to emission)")
+    else:
+        cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)
+        log.write("count node coverage")
     timer.mark("stage3_coverage", sync=(cov, reach_jun))
 
     # ---- graph simplification rounds (tips / bubbles; new vs ref) ----
-    if config.clip_tips or config.pop_bubbles:
+    if (config.clip_tips or config.pop_bubbles) and not restored3:
         from platanus3_tpu.graph import simplify as simp_mod
         for rnd in range(max(1, config.simplify_rounds)):
             dbg_np = jax.tree.map(np.asarray, dbg)
@@ -343,6 +388,10 @@ def _assemble_impl(source, config, log, write_output, mesh):
             log.write(f"simplify round {rnd + 1}: dropped "
                       f"{n_drop} unitigs, {n_keep} nodes left")
         timer.mark("simplify", sync=(cov, reach_jun))
+
+    if ckpt is not None and not restored3:
+        _save_stage3(ckpt, dbg, cov, reach_jun, reach_uni, chars)
+        log.write("stage3 checkpoint saved")
 
     if not config.restrict_to_seeds:
         reach_jun = jnp.ones_like(reach_jun)

@@ -24,3 +24,37 @@ def test_stage1_checkpoint_roundtrip(tmp_path):
                            checkpoint_dir=str(tmp_path))
     r3 = assemble(reads, cfg27, write_output=False)
     assert r3.gfa_lines != r1.gfa_lines or r3.num_nodes != r1.num_nodes
+
+
+def test_stage23_checkpoint_skips_graph_build(tmp_path, monkeypatch):
+    """VERDICT r1 item 7: a resume after stage 2/3 checkpoints must not
+    re-run graph build or coverage (kill-after-stage-2 recovery)."""
+    import platanus3_tpu.pipeline as pipeline_mod
+
+    genome = "".join(RNG.choice(list(BASES), size=1500))
+    reads = [genome[s : s + 200] for s in range(0, 1301, 40)]
+    cfg = AssemblyConfig(k=25, chunk_len=256, log_path=None,
+                         checkpoint_dir=str(tmp_path))
+    r1 = assemble(reads, cfg, write_output=False)
+
+    digest_dirs = [d for d in tmp_path.iterdir() if d.is_dir()]
+    assert len(digest_dirs) == 1
+    files = {p.name for p in digest_dirs[0].iterdir()}
+    assert {"stage1.npz", "stage2.npz", "stage3.npz"} <= files
+
+    # Full resume: neither stage 2 nor stage 3 may execute.
+    def boom(*a, **kw):
+        raise AssertionError("stage re-ran despite checkpoint")
+
+    monkeypatch.setattr(pipeline_mod, "_stage2", boom)
+    monkeypatch.setattr(pipeline_mod, "_stage3", boom)
+    r2 = assemble(reads, cfg, write_output=False)
+    assert r1.gfa_lines == r2.gfa_lines
+
+    # Kill-after-stage-2 simulation: drop stage3, keep stage2.  The
+    # resume must rebuild coverage but NOT the graph.
+    monkeypatch.undo()
+    (digest_dirs[0] / "stage3.npz").unlink()
+    monkeypatch.setattr(pipeline_mod, "_stage2", boom)  # graph must not run
+    r3 = assemble(reads, cfg, write_output=False)
+    assert r1.gfa_lines == r3.gfa_lines
