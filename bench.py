@@ -73,7 +73,8 @@ def main():
     def stage1(packed, valid_len, read_id, start, read_len_a):
         result, _ = solid_mod.solid_kmers(
             (packed, valid_len, read_id, start, read_len_a),
-            k, short_k, cov_threshold, bf, add_to_bloom=False)
+            k, short_k, cov_threshold, bf, add_to_bloom=False,
+            need_short_table=False)
         l = result.canon.shape[-1]
         # Same one-sort node-table+ids build the production pipeline's
         # stage 1 performs (pipeline._stage1).

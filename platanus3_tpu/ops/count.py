@@ -72,7 +72,7 @@ _NOT_MSB = np.uint32(0x7FFFFFFF)
 
 
 def sort_kmers(kmers: jnp.ndarray, invalid: jnp.ndarray, *payloads,
-               k: int | None = None):
+               k: int | None = None, stable: bool = True):
     """Stable sort of ``[N, L]`` keys with invalids last.
 
     Returns ``(sorted_kmers [N, L], sorted_invalid [N], *sorted_payloads)``.
@@ -84,18 +84,22 @@ def sort_kmers(kmers: jnp.ndarray, invalid: jnp.ndarray, *payloads,
     flag is folded into it, saving one 4N-byte sort operand on the hot
     path.  Ordering is identical either way: valid keys in lex order,
     then invalid rows (by masked key bits, then input order).
+
+    ``stable=False`` skips the stability guarantee (rows with fully equal
+    keys may permute); the counting cores use it because they only consume
+    run aggregates plus explicit per-row payload indices.
     """
     n, l = kmers.shape
     if _has_spare_msb(kmers, k):
         lane0 = jnp.where(invalid, kmers[:, 0] | _MSB, kmers[:, 0])
         ops = [lane0] + [kmers[:, j] for j in range(1, l)] + list(payloads)
-        out = jax.lax.sort(tuple(ops), num_keys=l, is_stable=True)
+        out = jax.lax.sort(tuple(ops), num_keys=l, is_stable=stable)
         s_invalid = (out[0] & _MSB) > 0
         s_kmers = jnp.stack((out[0] & _NOT_MSB,) + out[1:l], axis=-1)
         return (s_kmers, s_invalid) + tuple(out[l:])
     ops = [invalid.astype(jnp.uint32)] + [kmers[:, j] for j in range(l)]
     ops += list(payloads)
-    out = jax.lax.sort(tuple(ops), num_keys=l + 1, is_stable=True)
+    out = jax.lax.sort(tuple(ops), num_keys=l + 1, is_stable=stable)
     s_invalid = out[0] > 0
     s_kmers = jnp.stack(out[1 : l + 1], axis=-1)
     return (s_kmers, s_invalid) + tuple(out[l + 1 :])
@@ -111,6 +115,38 @@ def _boundaries(s_kmers: jnp.ndarray, s_invalid: jnp.ndarray):
     return is_first, seg_id
 
 
+def _is_first(s_kmers: jnp.ndarray, s_invalid: jnp.ndarray):
+    prev_diff = jnp.any(s_kmers[1:] != s_kmers[:-1], axis=-1)
+    prev_diff = prev_diff | (s_invalid[1:] != s_invalid[:-1])
+    return jnp.concatenate([jnp.ones((1,), dtype=bool), prev_diff])
+
+
+_I32_MAX = np.int32(0x7FFFFFFF)
+
+
+def _run_totals(is_first: jnp.ndarray, contrib: jnp.ndarray) -> jnp.ndarray:
+    """Per-row sum of ``contrib`` over the row's run (runs delimited by
+    ``is_first``), with NO segment_sum / gather / scatter.
+
+    TPU microbenchmarks (tools/microbench.py) put scatter-add and gather at
+    90-130M elem/s but cumsum-class scans at ~1.8G elem/s; everything here
+    is scan + elementwise:
+
+      c          = inclusive cumsum of contrib
+      start_excl = c just before my run's first row, broadcast into the run
+                   via cummax (values at successive run starts are
+                   nondecreasing because c is)
+      end_c      = c at my run's last row, broadcast backwards via reversed
+                   cummin (the nearest following run end has the smallest c
+                   among following ends)
+    """
+    c = jnp.cumsum(contrib, dtype=jnp.int32)
+    start_excl = jax.lax.cummax(jnp.where(is_first, c - contrib, -1))
+    is_last = jnp.concatenate([is_first[1:], jnp.ones((1,), dtype=bool)])
+    end_c = jax.lax.cummin(jnp.where(is_last, c, _I32_MAX), reverse=True)
+    return end_c - start_excl
+
+
 def count_kmers(kmers: jnp.ndarray, valid: jnp.ndarray,
                 k: int | None = None) -> KmerTable:
     """Count unique canonical k-mers of a flat batch ``[N, L]``.
@@ -122,6 +158,67 @@ def count_kmers(kmers: jnp.ndarray, valid: jnp.ndarray,
     return t
 
 
+def _scan_count(kmers, valid, contributes, k, include_zero: bool,
+                want_nid: bool, want_table: bool = True):
+    """Sort+scan core shared by the counting entry points.
+
+    One non-stable forward sort (keys = lanes with the invalid flag folded
+    into a spare bit where possible; single packed payload = input index
+    with the contribution flag in its top bit), then pure scans over the
+    sorted order (``_run_totals``) -- NO segment_sum, NO random gathers.
+    Per-position results return to input order via a 1-key back-sort (the
+    measured-fastest inverse-permutation apply on TPU; see
+    tools/microbench.py), and the table is compacted to the front with a
+    second 1-key sort whose key is the table rank.
+
+    Returns ``(table | None, per_pos)`` where ``per_pos`` is the run total
+    (count) per input row, or the table row id (-1 when absent) when
+    ``want_nid``.  ``include_zero`` keeps zero-contribution (but valid)
+    runs in the table.
+    """
+    n, l = kmers.shape
+    contributes = contributes & valid
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    idx_packed = idx | jnp.where(contributes, _MSB, np.uint32(0))
+    s_kmers, s_invalid, s_idxp = sort_kmers(kmers, ~valid, idx_packed, k=k,
+                                            stable=False)
+    s_idx = s_idxp & _NOT_MSB
+    s_contrib = (s_idxp >> 31).astype(jnp.int32)
+    is_first = _is_first(s_kmers, s_invalid)
+    run_total = _run_totals(is_first, jnp.where(s_invalid, 0, s_contrib))
+
+    in_table = (~s_invalid) if include_zero else ((run_total > 0) & ~s_invalid)
+    tab_first = is_first & in_table
+    tab_rank = jnp.cumsum(tab_first.astype(jnp.int32)) - 1
+    size = jnp.where(n > 0, tab_rank[-1] + 1, 0).astype(jnp.int32)
+
+    if want_nid:
+        # Broadcast each run's table rank from its first row (run starts
+        # carry nondecreasing ranks, so cummax propagates within runs).
+        rank_bcast = jax.lax.cummax(jnp.where(is_first, tab_rank, -1))
+        value_sorted = jnp.where(in_table, rank_bcast, -1).astype(jnp.int32)
+    else:
+        value_sorted = jnp.where(s_invalid, 0, run_total)
+    # Back-sort: input index is a unique 31-bit key, so one non-stable
+    # 1-key sort restores input order (faster than an N-row scatter).
+    back = jax.lax.sort((s_idx, value_sorted), num_keys=1, is_stable=False)
+    per_pos = back[1]
+
+    if not want_table:
+        return None, per_pos
+    # Table compaction: rank as key, lanes + count as payloads.
+    ckey = jnp.where(tab_first, tab_rank.astype(jnp.uint32),
+                     np.uint32(0xFFFFFFFF))
+    cout = jax.lax.sort(
+        (ckey,) + tuple(s_kmers[:, j] for j in range(l)) + (run_total,),
+        num_keys=1, is_stable=False)
+    in_range = jnp.arange(n) < size
+    keys = jnp.where(in_range[:, None], jnp.stack(cout[1 : 1 + l], axis=-1),
+                     np.uint32(0xFFFFFFFF))
+    counts = jnp.where(in_range, cout[1 + l], 0)
+    return KmerTable(keys=keys, counts=counts, size=size), per_pos
+
+
 def count_with_positions(kmers: jnp.ndarray, valid: jnp.ndarray,
                          contributes: jnp.ndarray | None = None,
                          k: int | None = None):
@@ -129,88 +226,39 @@ def count_with_positions(kmers: jnp.ndarray, valid: jnp.ndarray,
 
     Returns ``(KmerTable, per_position_counts [N] int32)`` where invalid
     positions get count 0.  The per-position counts are what the solidity
-    window-min consumes (reference ``src/MakeBloomFilter.cpp:46-62``),
-    obtained here by scattering segment counts back through the sort
-    permutation instead of a second hash lookup pass.
+    window-min consumes (reference ``src/MakeBloomFilter.cpp:46-62``).
+    The table holds every unique VALID k-mer (counts may be 0 when no copy
+    contributes).
 
     ``contributes`` (default ``valid``): positions that add +1 to their
     k-mer's count.  Chunked reads present overlap positions twice -- only
     the owning chunk's copy contributes, but BOTH copies still receive the
-    k-mer's count in ``per_position_counts`` (they share a sort segment).
+    k-mer's count in ``per_position_counts`` (they share a sort run).
     """
-    n, l = kmers.shape
     if contributes is None:
         contributes = valid
-    # The contrib bit rides in the index payload's top bit (n < 2^31),
-    # saving a 4N-byte sort operand.
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    idx_packed = idx | jnp.where(contributes & valid, _MSB, np.uint32(0))
-    s_kmers, s_invalid, s_idxp = sort_kmers(kmers, ~valid, idx_packed, k=k)
-    s_idx = (s_idxp & _NOT_MSB).astype(jnp.int32)
-    s_contrib = (s_idxp >> 31).astype(jnp.int32)
-    is_first, seg_id = _boundaries(s_kmers, s_invalid)
-
-    seg_count = jax.ops.segment_sum(
-        jnp.where(s_invalid, 0, s_contrib), seg_id, num_segments=n
-    )
-    # Unique table: scatter each sorted row to its segment slot.
-    pad = jnp.full((n, l), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-    keys = pad.at[seg_id].set(s_kmers)
-    num_valid_rows = jnp.sum((~s_invalid).astype(jnp.int32))
-    # Segments are ordered: valid segments first (invalid sentinel sorts
-    # last), so table size = seg_id of last valid element + 1.
-    size = jnp.where(
-        num_valid_rows > 0,
-        seg_id[jnp.maximum(num_valid_rows - 1, 0)] + 1,
-        0,
-    ).astype(jnp.int32)
-    counts = jnp.where(jnp.arange(n) < size, seg_count, 0)
-    keys = jnp.where((jnp.arange(n) < size)[:, None], keys, pad)
-
-    per_pos = jnp.zeros((n,), dtype=jnp.int32).at[s_idx].set(
-        jnp.where(s_invalid, 0, seg_count[seg_id])
-    )
-    return KmerTable(keys=keys, counts=counts, size=size), per_pos
+    return _scan_count(kmers, valid, contributes, k,
+                       include_zero=True, want_nid=False)
 
 
 def count_positions_table(kmers: jnp.ndarray, valid: jnp.ndarray,
-                          contributes: jnp.ndarray, k: int | None = None):
+                          contributes: jnp.ndarray, k: int | None = None,
+                          want_table: bool = True):
     """Per-position counts AND the contributing-unique table from ONE sort.
 
-    Fuses what was previously two full sorts in the solidity stage
+    Fuses what would be two sorts in the solidity stage
     (``count_with_positions`` for the per-position short-k counts feeding
-    the window-min, then ``count_kmers`` for the exact short-k table):
-    the table of k-mers with >= 1 contributing occurrence is compacted out
-    of the same sorted run the per-position counts come from.
+    the window-min, plus ``count_kmers`` for the exact short-k table).
 
     Returns ``(KmerTable, per_position_counts [N] int32)``; the table is
     exactly ``count_kmers(kmers, contributes & valid)`` and the counts are
     exactly ``count_with_positions(kmers, valid, contributes)[1]``.
+    ``want_table=False`` skips the table compaction sort (the production
+    pipeline only consumes the per-position counts; returns ``(None, pp)``).
     """
-    n, l = kmers.shape
-    contributes = contributes & valid
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    idx_packed = idx | jnp.where(contributes, _MSB, np.uint32(0))
-    s_kmers, s_invalid, s_idxp = sort_kmers(kmers, ~valid, idx_packed, k=k)
-    s_idx = (s_idxp & _NOT_MSB).astype(jnp.int32)
-    s_contrib = (s_idxp >> 31).astype(jnp.int32)
-    is_first, seg_id = _boundaries(s_kmers, s_invalid)
-    seg_count = jax.ops.segment_sum(
-        jnp.where(s_invalid, 0, s_contrib), seg_id, num_segments=n)
-    # Compact segments with >= 1 contribution into table rows (rank among
-    # contributing segments, as in count_solid_with_ids).
-    row_in_table = (seg_count[seg_id] > 0) & ~s_invalid
-    tab_first = is_first & row_in_table
-    tab_rank = jnp.cumsum(tab_first.astype(jnp.int32)) - 1
-    size = jnp.sum(tab_first.astype(jnp.int32)).astype(jnp.int32)
-    pad = jnp.full((n, l), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-    tgt = jnp.where(tab_first, tab_rank, n)
-    keys = pad.at[tgt].set(s_kmers, mode="drop")
-    counts = jnp.zeros((n,), jnp.int32).at[tgt].set(
-        seg_count[seg_id], mode="drop")
-    per_pos = jnp.zeros((n,), dtype=jnp.int32).at[s_idx].set(
-        jnp.where(s_invalid, 0, seg_count[seg_id]))
-    return KmerTable(keys=keys, counts=counts, size=size), per_pos
+    return _scan_count(kmers, valid, contributes, k,
+                       include_zero=False, want_nid=False,
+                       want_table=want_table)
 
 
 def count_solid_with_ids(kmers: jnp.ndarray, valid: jnp.ndarray,
@@ -234,33 +282,8 @@ def count_solid_with_ids(kmers: jnp.ndarray, valid: jnp.ndarray,
     read positions (graph/coverage.py) falls out of the sort stage 1
     already performs to build the node table.
     """
-    n, l = kmers.shape
-    contributes = contributes & valid
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    idx_packed = idx | jnp.where(contributes, _MSB, np.uint32(0))
-    s_kmers, s_invalid, s_idxp = sort_kmers(kmers, ~valid, idx_packed, k=k)
-    s_idx = (s_idxp & _NOT_MSB).astype(jnp.int32)
-    s_contrib = (s_idxp >> 31).astype(jnp.int32)
-    is_first, seg_id = _boundaries(s_kmers, s_invalid)
-    seg_count = jax.ops.segment_sum(
-        jnp.where(s_invalid, 0, s_contrib), seg_id, num_segments=n)
-    # A segment is a node iff it has >= 1 contributing occurrence.
-    row_is_node = (seg_count[seg_id] > 0) & ~s_invalid
-    node_first = is_first & row_is_node
-    # Node id = rank among node segments; constant within a segment
-    # because node_first fires only on the segment's first row.
-    node_rank = jnp.cumsum(node_first.astype(jnp.int32)) - 1
-    size = jnp.sum(node_first.astype(jnp.int32)).astype(jnp.int32)
-
-    pad = jnp.full((n, l), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-    tgt = jnp.where(node_first, node_rank, n)
-    keys = pad.at[tgt].set(s_kmers, mode="drop")
-    counts = jnp.zeros((n,), jnp.int32).at[tgt].set(
-        seg_count[seg_id], mode="drop")
-
-    nid_sorted = jnp.where(row_is_node, node_rank, -1).astype(jnp.int32)
-    per_pos_nid = jnp.zeros((n,), jnp.int32).at[s_idx].set(nid_sorted)
-    return KmerTable(keys=keys, counts=counts, size=size), per_pos_nid
+    return _scan_count(kmers, valid, contributes, k,
+                       include_zero=False, want_nid=True)
 
 
 def _lex_less_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -96,7 +96,7 @@ def short_kmer_positions(bases, valid_len, start, read_len, stride,
 
 def solid_kmers(batch_arrays, k: int, short_k: int, cov_threshold: int,
                 bloom_filter: bloom_mod.BloomFilter,
-                add_to_bloom: bool = True):
+                add_to_bloom: bool = True, need_short_table: bool = True):
     """Full solidity stage over a device-resident chunked read batch.
 
     ``batch_arrays`` = (packed, valid_len, read_id, start, read_len) as
@@ -117,9 +117,12 @@ def solid_kmers(batch_arrays, k: int, short_k: int, cov_threshold: int,
     s_canon, s_valid, s_owned = short_kmer_positions(
         bases, valid_len, start, read_len, stride, short_k, k)
     l_s = s_canon.shape[-1]
+    # need_short_table=False skips the table-compaction sort: the
+    # single-shot pipeline only consumes the per-position counts (the
+    # exact short table is wanted by streaming accumulation and sweeps).
     short_table, per_pos = count_mod.count_positions_table(
         s_canon.reshape(-1, l_s), s_valid.reshape(-1),
-        s_owned.reshape(-1), k=short_k)
+        s_owned.reshape(-1), k=short_k, want_table=need_short_table)
     short_counts = per_pos.reshape(c, -1)  # [C, P_short]
 
     # ---- stage B: window-min solidity (hot loops #2-#3 replacement) ----
@@ -155,29 +158,28 @@ def first_solid_per_read(result: SolidResult, read_id, start, num_reads: int):
     (``src/MakeBloomFilter.cpp:79-83`` stores ``GetStringKmer(kmer_Fw)``).
 
     Returns ``(seed_fw [R, L] uint32, has_seed [R] bool)``.
+
+    Relies on the chunk layout contract (io/reads.py): chunks are emitted
+    read-major with ascending start, and owned local positions ascend with
+    global position -- so the flat (chunk, position) index order IS global
+    position order within each read.  The per-read minimum then reduces to
+    a cheap per-chunk row min (VPU reduction over the position axis)
+    followed by a segment_min over the ~C chunk rows and an R-row gather;
+    no N-row scatter/segment op remains (those run at only ~100M elem/s on
+    TPU, tools/microbench.py).
     """
     c, pk, l = result.fw.shape
-    local = jnp.arange(pk, dtype=jnp.int32)[None, :]
-    gpos = start[:, None] + local  # global read position
+    n = c * pk
     solid_owned = result.is_solid & result.owned
     big = np.int32(2**30)
-    gpos_masked = jnp.where(solid_owned, gpos, big)
-    # min global solid position per read
-    flat_rid = jnp.broadcast_to(read_id[:, None], (c, pk)).reshape(-1)
-    min_pos = jax.ops.segment_min(
-        gpos_masked.reshape(-1), flat_rid, num_segments=num_reads)
-    # fetch the fw k-mer at that position: scatter (read, pos) -> row index
-    is_first = solid_owned & (gpos == min_pos[read_id][:, None])
-    # At most one position per read matches; scatter its fw lanes.  One
-    # 1-D scatter per lane: a single scatter of [N, L] updates forces XLA
-    # to materialize a row-major copy whose minor dim (L) pads to the
-    # 128-lane tile -- a 64x HBM blowup at L=2 (observed OOM at 60M
-    # positions).
-    rid_b = jnp.broadcast_to(read_id[:, None], (c, pk))
-    tgt = jnp.where(is_first, rid_b, num_reads).reshape(-1)  # drop others
-    seed = jnp.stack(
-        [jnp.zeros((num_reads,), dtype=jnp.uint32).at[tgt].max(
-            result.fw[..., j].reshape(-1), mode="drop")
-         for j in range(l)], axis=-1)
-    has_seed = min_pos < big
+    flat = (jnp.arange(c, dtype=jnp.int32)[:, None] * pk
+            + jnp.arange(pk, dtype=jnp.int32)[None, :])
+    cand = jnp.where(solid_owned, flat, big)
+    chunk_min = jnp.min(cand, axis=1)                        # [C]
+    min_flat = jax.ops.segment_min(chunk_min, read_id,
+                                   num_segments=num_reads)   # [R]
+    has_seed = min_flat < big
+    idx = jnp.clip(min_flat, 0, n - 1)
+    seed = jnp.where(has_seed[:, None],
+                     result.fw.reshape(n, l)[idx], np.uint32(0))
     return seed, has_seed

@@ -85,7 +85,7 @@ def _stage1(packed, valid_len, read_id, start, read_len, bf, cov_threshold, *,
     batch_arrays = (packed, valid_len, read_id, start, read_len)
     result, bf = solid_mod.solid_kmers(
         batch_arrays, k, short_k, cov_threshold, bf,
-        add_to_bloom=add_to_bloom)
+        add_to_bloom=add_to_bloom, need_short_table=False)
     seed_fw, has_seed = solid_mod.first_solid_per_read(
         result, read_id, start, num_reads)
     c, pk, l = result.canon.shape
