@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--bases", type=int, default=4_000_000)
     ap.add_argument("--cpu", action="store_true",
                     help="force 8 virtual CPU devices")
+    ap.add_argument("--multiproc", action="store_true",
+                    help="also run a 2-process jax.distributed datapoint")
     args = ap.parse_args()
 
     import os
@@ -86,6 +88,50 @@ def main():
             "seconds": round(dt, 3),
             "efficiency_vs_1dev": round(rate / (base_rate * n), 3),
         }), flush=True)
+
+    if args.multiproc:
+        print(json.dumps(run_two_process_datapoint()), flush=True)
+
+
+def run_two_process_datapoint():
+    """2-PROCESS datapoint: the same sharded stage 1 with the mesh split
+    across two ``jax.distributed`` CPU processes (4 devices each) --
+    validates that the collective program crosses process boundaries
+    (tools/multihost_worker.py); wall-clock includes both workers'
+    startup, so it is a mechanics datapoint, not a speedup claim."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    from platanus3_tpu import sim
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tools", "multihost_worker.py")
+    s = socket.socket(); s.bind(("localhost", 0))
+    port = s.getsockname()[1]; s.close()
+
+    with tempfile.TemporaryDirectory() as td:
+        fasta = os.path.join(td, "reads.fasta")
+        genome = sim.random_genome(5000, seed=71)
+        rs = sim.simulate_reads(genome, coverage=20, read_len=500, seed=72)
+        with open(fasta, "w") as f:
+            for i, r in enumerate(rs):
+                f.write(f">r{i}\n{r}\n")
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        t0 = time.time()
+        procs = [subprocess.Popen(
+            [_sys.executable, worker, "--pid", str(p), "--nprocs", "2",
+             "--port", str(port), "--fasta", fasta,
+             "--out", os.path.join(td, f"o{p}.npz")], env=env, cwd=repo)
+            for p in range(2)]
+        rcs = [p.wait(timeout=900) for p in procs]
+        dt = time.time() - t0
+        size = int(np.load(os.path.join(td, "o0.npz"))["size"])
+        return {"processes": 2, "devices": 8, "ok": rcs == [0, 0],
+                "nodes": size, "wall_s": round(dt, 2)}
 
 
 if __name__ == "__main__":

@@ -58,6 +58,13 @@ class AssemblyConfig:
                                     # exact mode (for checkpoint export /
                                     # parity experiments); implied by
                                     # use_exact_membership=False
+    bloom_expand_rounds: int = 8    # Bloom mode: closure rounds adding
+                                    # filter-positive neighbor k-mers as
+                                    # real nodes, like the reference's
+                                    # traversal enqueueing every Bloom hit
+                                    # (src/DeBruijnGraph.cpp:167-179) --
+                                    # false positives become nodes.  Stops
+                                    # early at fixpoint; 0 disables.
 
     # --- graph simplification (new vs reference; BASELINE configs 3-4) ---
     clip_tips: bool = False

@@ -48,7 +48,7 @@ from platanus3_tpu.ops import bloom as bloom_mod
 from platanus3_tpu.ops import count as count_mod
 from platanus3_tpu.ops import kmer as kmer_mod
 
-__all__ = ["DBG", "build_graph"]
+__all__ = ["DBG", "build_graph", "phantom_neighbors"]
 
 _NO_STATE = np.int32(-1)
 
@@ -174,6 +174,33 @@ def _min_double(nxt, value, rounds):
 
     _, val = jax.lax.fori_loop(0, rounds, body, (nxt, value))
     return val
+
+
+def phantom_neighbors(dbg: DBG, k: int):
+    """Canonical k-mers of Bloom-positive neighbors ABSENT from the node
+    table: ``([M*8, L] uint32, [M*8] bool mask)``.
+
+    The reference enqueues every Bloom-positive neighbor during traversal
+    (``SearchNode``/``Extend*`` push to ``visiting``, reference
+    ``src/DeBruijnGraph.cpp:167-179, 248-258``), so false-positive k-mers
+    that never occur in any read become REAL graph nodes.  The array
+    pipeline reproduces that closure by iterating: build graph ->
+    collect phantom (present, id<0) neighbors -> merge into the node
+    table -> rebuild, until fixpoint (pipeline Bloom mode).
+    """
+    nodes = dbg.nodes
+    m, l = nodes.shape
+    canons = []
+    for shift_fn in (kmer_mod.shift_in_left, kmer_mod.shift_in_right):
+        for b in range(4):
+            u = shift_fn(nodes, np.uint32(b), k)
+            canon, _ = kmer_mod.canonical(u, k)
+            canons.append(canon)
+    all_canon = jnp.stack(canons, axis=1).reshape(m * 8, l)
+    pres = jnp.concatenate([dbg.left_present, dbg.right_present], axis=1)
+    nid = jnp.concatenate([dbg.left_id, dbg.right_id], axis=1)
+    mask = (pres & (nid < 0)).reshape(m * 8)
+    return all_canon, mask
 
 
 def build_graph(nodes: jnp.ndarray, size, k: int,

@@ -50,6 +50,11 @@ class JunPack(NamedTuple):
     nbr_isfw: jnp.ndarray  # [jun_cap, 8] neighbor encountered canonically
     nbr_isjun: jnp.ndarray  # [jun_cap, 8] neighbor is a junction
     nbr_joint_uid: jnp.ndarray  # [jun_cap, 8] neighbor's unitig (-1)
+    nbr_joint_fw: jnp.ndarray   # [jun_cap, 8] queried neighbor state lies on
+                                # the unitig's KEPT (stored) walk -- the
+                                # GFA sign for Straight_* endpoints, matching
+                                # the reference's joint-map orientation hit
+                                # (src/DeBruijnGraph.cpp:480-505,520-541)
 
 
 for _cls in (SeqPack, JunPack):
@@ -113,6 +118,14 @@ def pack_junctions(dbg: DBG, cov, reach_jun, *, jun_cap: int) -> JunPack:
     nidc = jnp.clip(nid, 0, m - 1)
     n_isjun = dbg.is_junction_final[nidc] & (nid >= 0)
     n_juid = jnp.where(nid >= 0, dbg.joint_uid[nidc], -1)
+    # Straight-endpoint sign: the queried neighbor state (node, orientation)
+    # is '+' iff it lies on the kept walk of its unitig (its k-mer then
+    # appears AS WRITTEN at the stored sequence's facing end; a junction's
+    # chain neighbor is always a chain end, so kept-side membership alone
+    # decides the sign).  Mirrors the reference's direct-vs-complement
+    # joint-map hit (src/DeBruijnGraph.cpp:480-505, 520-541).
+    s_n = nidc * 2 + jnp.where(isfw, 0, 1)
+    n_joint_fw = dbg.node_state_uid.reshape(-1)[s_n] >= 0
 
     return JunPack(
         node_id=jidx,
@@ -121,4 +134,5 @@ def pack_junctions(dbg: DBG, cov, reach_jun, *, jun_cap: int) -> JunPack:
         tally=cov.jun_tally[jc],
         nbr_id=nid, nbr_present=pres, nbr_isfw=isfw,
         nbr_isjun=n_isjun, nbr_joint_uid=n_juid,
+        nbr_joint_fw=n_joint_fw,
     )

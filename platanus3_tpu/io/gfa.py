@@ -90,6 +90,7 @@ def gfa_lines(jun_pack, seq_pack, reach_uni, num_unitigs: int, m: int,
     nbr_isfw = np.asarray(jun_pack.nbr_isfw)
     nbr_isjun = np.asarray(jun_pack.nbr_isjun)
     nbr_juid = np.asarray(jun_pack.nbr_joint_uid)
+    nbr_jfw = np.asarray(jun_pack.nbr_joint_fw)
 
     ov = f"{k - 1}M"
     for i, r in enumerate(jun_rows):
@@ -105,12 +106,17 @@ def gfa_lines(jun_pack, seq_pack, reach_uni, num_unitigs: int, m: int,
                 if gid is None:
                     continue
                 name = f"Junction_{gid}"
+                # Junctions are stored canonically: '+' iff the queried
+                # neighbor form is canonical.
+                sign = "+" if nbr_isfw[r, d] else "-"
             else:
                 juid = nbr_juid[r, d]
                 if juid < 0 or juid >= num_unitigs or uni_gfa[juid] < 0:
                     continue
                 name = f"Straight_{uni_gfa[juid]}"
-            sign = "+" if nbr_isfw[r, d] else "-"
+                # Straights are stored in their kept-walk orientation:
+                # '+' iff the queried neighbor state is on that walk.
+                sign = "+" if nbr_jfw[r, d] else "-"
             if d < 4:   # left direction: neighbor -> junction
                 lines.append(f"L\t{name}\t{sign}\t{me}\t+\t{ov}")
             else:       # right direction: junction -> neighbor

@@ -43,10 +43,15 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Start the multi-process runtime.  With no arguments JAX discovers
     the topology from the TPU environment (GCE metadata / hostnames)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     if coordinator_address is None and num_processes is None:
+        # NB: jax.process_count() initializes the backend, which forbids a
+        # later distributed.initialize() -- only consult it on this
+        # auto-discovery path, never before an explicit initialize.
+        if jax.process_count() > 1:
+            _initialized = True
+            return
         try:
             jax.distributed.initialize()
         except Exception:

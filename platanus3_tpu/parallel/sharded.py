@@ -57,6 +57,26 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("d",))
 
 
+def _is_multiprocess(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
+def to_global(mesh: Mesh, x, spec=P("d")):
+    """Host numpy -> global device array sharded by ``spec`` over ``mesh``.
+
+    Single-process: a plain device_put.  Multi-process (every process
+    holds the full host array, the test/moderate-input regime): each
+    process contributes only its addressable shards via
+    ``make_array_from_callback`` -- the standard multihost construction.
+    """
+    sh = jax.sharding.NamedSharding(mesh, spec)
+    x = np.asarray(x)
+    if not _is_multiprocess(mesh):
+        return jax.device_put(x, sh)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def pad_batch_to_devices(arrays, n: int):
     """Pad chunk-leading-axis arrays to a multiple of n devices.
 
@@ -228,10 +248,15 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         check_vma=False,
     )
     shard_keys, shard_valid, bits, seed_fw, has_seed, ovf = fn(
-        jnp.asarray(packed), jnp.asarray(valid_len), jnp.asarray(read_id),
-        jnp.asarray(start), jnp.asarray(read_len), bf.bits)
+        to_global(mesh, packed), to_global(mesh, valid_len),
+        to_global(mesh, read_id), to_global(mesh, start),
+        to_global(mesh, read_len), to_global(mesh, bf.bits, P()))
 
-    # Merge shard-unique node sets into one sorted global table.
-    node_table = count_mod.count_kmers(shard_keys, shard_valid, k=k)
+    # Merge shard-unique node sets into one sorted global table,
+    # REPLICATED so every process can read it (multihost stitch on host 0
+    # just reads its local copy).
+    merge = jax.jit(partial(count_mod.count_kmers, k=k),
+                    out_shardings=jax.sharding.NamedSharding(mesh, P()))
+    node_table = merge(shard_keys, shard_valid)
     return (node_table, bf._replace(bits=bits), seed_fw, has_seed,
             jnp.max(ovf))

@@ -120,6 +120,51 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _phantom_fn(dbg, *, k):
+    return build_mod.phantom_neighbors(dbg, k)
+
+
+def _pad_table_keys(keys, size: int, cap: int):
+    rows, lanes = keys.shape
+    if cap <= rows:
+        return keys[:cap]
+    pad = jnp.full((cap - rows, lanes), np.uint32(0xFFFFFFFF),
+                   dtype=jnp.uint32)
+    return jnp.concatenate([keys, pad], axis=0)
+
+
+def _expand_bloom_closure(dbg, nodes, size, bf, config, log):
+    """Bloom-membership closure: add filter-positive neighbor k-mers as
+    nodes until fixpoint (or ``bloom_expand_rounds``), rebuilding the
+    graph each round.  Reproduces the reference's traversal semantics
+    where every Bloom hit is enqueued and materialized
+    (``src/DeBruijnGraph.cpp:167-179, 248-258``) -- so false positives
+    become coverage-0 nodes exactly like the reference's.
+
+    Returns ``(dbg, nodes, size, changed)``.
+    """
+    changed = False
+    for rnd in range(max(0, config.bloom_expand_rounds)):
+        canon, mask = _phantom_fn(dbg, k=config.k)
+        n_extra = int(jnp.sum(mask))
+        if n_extra == 0:
+            break
+        changed = True
+        extra = count_mod.count_kmers(canon, mask, k=config.k)
+        base = count_mod.KmerTable(
+            nodes, jnp.zeros((nodes.shape[0],), jnp.int32), size)
+        merged = count_mod.merge_tables(base, extra)
+        n_new = int(merged.size)
+        cap2 = max(8, _next_pow2(n_new))
+        nodes = _pad_table_keys(merged.keys, n_new, cap2)
+        size = jnp.asarray(n_new, jnp.int32)
+        dbg = _stage2(nodes, size, bf, k=config.k, use_exact=False)
+        log.write(f"bloom closure round {rnd + 1}: {n_extra} phantom "
+                  f"neighbor k-mers -> {n_new} nodes")
+    return dbg, nodes, size, changed
+
+
 def _emit_output(dbg, cov, reach_jun, reach_uni, chars, k):
     """Stage 4: build compact emission packs on device, render GFA on
     host.  Transfer is proportional to output size (graph/emit.py)."""
@@ -335,6 +380,13 @@ def _assemble_impl(source, config, log, write_output, mesh):
     else:
         dbg = _stage2(nodes, size, bf, k=config.k,
                       use_exact=config.use_exact_membership)
+        if not config.use_exact_membership and config.bloom_expand_rounds:
+            dbg, nodes, size, grew = _expand_bloom_closure(
+                dbg, nodes, size, bf, config, log)
+            if grew:
+                # Node rows shifted; per-position ids from stage 1 are
+                # stale -- stage 3 re-resolves them with a sort-join.
+                nid = None
         if ckpt is not None:
             ckpt.save_pytree("stage2", dbg)
             log.write("stage2 checkpoint saved")
@@ -415,7 +467,8 @@ def _assemble_impl(source, config, log, write_output, mesh):
     return AssemblyResult(
         gfa_lines=lines, straight_seqs=seqs, dbg=dbg, cov=cov,
         reach_jun=reach_jun, reach_uni=reach_uni,
-        num_nodes=num_nodes, num_junctions=n_j, num_straights=n_s,
+        num_nodes=int(dbg.size) if dbg is not None else num_nodes,
+        num_junctions=n_j, num_straights=n_s,
         stats={"elapsed_s": time.time() - t0,
                "all_bases": batch.all_bases,
                "num_reads": batch.num_reads,
