@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--short-cap-log2", type=int, default=27)
     ap.add_argument("--node-cap-log2", type=int, default=27)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard each slice + the count/node tables over "
+                         "all visible devices (config 5's multi-device "
+                         "leg: streaming x hash-prefix sharding)")
     args = ap.parse_args()
 
     import jax
@@ -62,13 +66,19 @@ def main():
     cfg = AssemblyConfig(k=args.k, cov_threshold=args.cov_threshold,
                          chunk_len=args.chunk_len, log_path=None,
                          gfa_path="/tmp/chr21_stream.gfa")
+    mesh = None
+    if args.mesh:
+        from platanus3_tpu.parallel import sharded
+        mesh = sharded.make_mesh(jax.devices())
+        print(f"# mesh: {mesh.devices.size} devices", flush=True)
+
     log = PipelineLog(None, echo=True)
     t0 = time.time()
     res = assemble_streaming(
         reads, cfg, log=log, write_output=True,
         short_cap=1 << args.short_cap_log2,
         node_cap=1 << args.node_cap_log2,
-        slice_chunks=args.slice_chunks)
+        slice_chunks=args.slice_chunks, mesh=mesh)
     wall = time.time() - t0
 
     lens = [len(s) for s in res.straight_seqs if s]

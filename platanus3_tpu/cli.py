@@ -132,7 +132,8 @@ def main(argv=None):
             short_cap=(1 << args.short_cap_log2) if args.short_cap_log2
             else 0,
             node_cap=(1 << args.node_cap_log2) if args.node_cap_log2 else 0,
-            slice_chunks=args.slice_chunks)
+            slice_chunks=args.slice_chunks,
+            mesh=mesh)  # --streaming --mesh = BASELINE config 5 topology
     else:
         res = assemble(args.readfile, cfg, log=log, mesh=mesh)
     print(f"wrote {cfg.gfa_path}: {res.num_straights} straights, "

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -96,14 +97,29 @@ def pad_batch_to_devices(arrays, n: int):
     return packed, valid_len, read_id, start, read_len
 
 
-def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
-    """All-to-all exchange of [N, L] canonical k-mers to hash owners;
-    returns (per_position_counts [N], owner_table_keys, owner_table_counts,
-    owner_table_size, overflow_count).
+class Routed(NamedTuple):
+    """Bookkeeping of one all-to-all k-mer exchange (inside shard_map)."""
+    recv_kmers: jnp.ndarray    # [n*cap, L] k-mers this shard owns
+    recv_flags: jnp.ndarray    # [n*cap] 0 empty, 1 phantom, 2 contributes
+    slot: jnp.ndarray          # [N] send-buffer slot per sorted row
+    sendable: jnp.ndarray      # [N]
+    s_idx: jnp.ndarray         # [N] original index per sorted row
+    overflow: jnp.ndarray      # scalar: rows dropped (bucket cap exceeded)
+    n: int
+    cap: int
 
-    The owner-side table is this shard's hash-prefix slice of the global
-    count table.
-    """
+
+def _a2a(x, n):
+    return jax.lax.all_to_all(
+        x.reshape((n, x.shape[0] // n) + x.shape[1:]),
+        axis_name="d", split_axis=0, concat_axis=0,
+    ).reshape(x.shape)
+
+
+def route_to_owners(canon, valid, contrib, n: int, cap: int, k: int) -> Routed:
+    """Sort [N, L] canonical k-mers by hash owner ``h1 % n`` and exchange
+    fixed-capacity buckets with one ``all_to_all``.  Invalid rows are never
+    sent; rows beyond a bucket's capacity are counted in ``overflow``."""
     nl, l = canon.shape
     h1, _ = hashing.double_hash(canon, k)
     owner = (h1 % np.uint32(n)).astype(jnp.int32)
@@ -131,25 +147,39 @@ def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
         jnp.stack(s_lanes, axis=-1), mode="drop")
     send_flags = jnp.zeros((n * cap,), jnp.int32)
     send_flags = send_flags.at[slot].set(1 + s_contrib, mode="drop")
-    # flags: 0 = empty, 1 = phantom (count wanted), 2 = contributes
 
-    # ---- all-to-all to owners ----
-    a2a = partial(jax.lax.all_to_all, axis_name="d", split_axis=0,
-                  concat_axis=0)
-    recv_kmers = a2a(send_kmers.reshape(n, cap, l)).reshape(n * cap, l)
-    recv_flags = a2a(send_flags.reshape(n, cap)).reshape(n * cap)
+    recv_kmers = _a2a(send_kmers, n)
+    recv_flags = _a2a(send_flags, n)
+    return Routed(recv_kmers=recv_kmers, recv_flags=recv_flags, slot=slot,
+                  sendable=sendable, s_idx=s_idx, overflow=overflow,
+                  n=n, cap=cap)
 
-    r_valid = recv_flags > 0
-    r_contrib = recv_flags == 2
+
+def route_values_back(routed: Routed, r_values, nl: int):
+    """Inverse all-to-all: per-owned-row int32 values -> per original
+    input position (0 for unsent rows)."""
+    n, cap = routed.n, routed.cap
+    back = _a2a(r_values, n)
+    per_sorted = jnp.where(routed.sendable,
+                           back[jnp.clip(routed.slot, 0, n * cap - 1)], 0)
+    return jnp.zeros((nl,), jnp.int32).at[routed.s_idx].set(per_sorted)
+
+
+def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
+    """All-to-all exchange of [N, L] canonical k-mers to hash owners;
+    returns (per_position_counts [N], owner_table, overflow_count).
+
+    The owner-side table is this shard's hash-prefix slice of the global
+    count table.
+    """
+    nl, l = canon.shape
+    routed = route_to_owners(canon, valid, contrib, n, cap, k)
+    r_valid = routed.recv_flags > 0
+    r_contrib = routed.recv_flags == 2
     table, r_counts = count_mod.count_with_positions(
-        recv_kmers, r_valid, r_contrib, k=k)
-
-    # ---- counts ride back ----
-    counts_back = a2a(r_counts.reshape(n, cap)).reshape(n * cap)
-    per_sorted = jnp.where(sendable, counts_back[jnp.clip(slot, 0, n * cap - 1)],
-                           0)
-    per_pos = jnp.zeros((nl,), jnp.int32).at[s_idx].set(per_sorted)
-    return per_pos, table, overflow
+        routed.recv_kmers, r_valid, r_contrib, k=k)
+    per_pos = route_values_back(routed, r_counts, nl)
+    return per_pos, table, routed.overflow
 
 
 def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,

@@ -144,15 +144,169 @@ def _slices(total: int, step: int):
         yield lo, min(lo + step, total)
 
 
+def _make_mesh_slice_fns(mesh, *, k, short_k, chunk_len, slice_chunks,
+                         num_reads, short_shard_cap, node_shard_cap,
+                         add_to_bloom, bf_log2, bf_hashes, slack=1.5):
+    """shard_map'd per-slice programs for streaming x mesh (BASELINE
+    config 5: bounded memory AND hash-prefix table sharding at once).
+
+    Accumulator tables live device-SHARDED: shard ``d`` owns the k-mers
+    with ``h1 % n == d`` (keys/counts ``[n*cap]`` arrays with P('d')
+    sharding, per-shard sizes ``[n]``).  Each slice routes its extracted
+    k-mers to owners with one all_to_all (parallel/sharded.py helpers),
+    owners merge into their shard (``merge_into``, overflow latched), and
+    pass-2 count lookups ride the inverse all_to_all back to the reads'
+    devices.  Results are bitwise-equal to single-device streaming.
+    """
+    import math as _math
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from platanus3_tpu.parallel import sharded as sh
+
+    n = mesh.devices.size
+    cl = slice_chunks // n
+    stride = chunk_len - k + 1
+    p_short = chunk_len - short_k + 1
+    pk = stride
+    nl_s = cl * p_short
+    nl_k = cl * pk
+    cap_s = int(_math.ceil(slack * nl_s / n))
+    cap_k = int(_math.ceil(slack * nl_k / n))
+    big = np.int32(2**30)
+
+    def count_local(packed, vlen, start, rlen, keys, counts, size, ovf):
+        bases = kmer_mod.unpack_bases(packed)
+        s_canon, s_valid, s_owned = solid_mod.short_kmer_positions(
+            bases, vlen, start, rlen, stride, short_k, k)
+        ls = s_canon.shape[-1]
+        routed = sh.route_to_owners(
+            s_canon.reshape(-1, ls), s_owned.reshape(-1),
+            s_owned.reshape(-1), n, cap_s, short_k)
+        batch = count_mod.count_kmers(
+            routed.recv_kmers, routed.recv_flags == 2, k=short_k)
+        tbl = count_mod.KmerTable(keys, counts, size[0])
+        merged = count_mod.merge_into(tbl, batch, short_shard_cap)
+        over = routed.overflow + jnp.maximum(
+            merged.size - short_shard_cap, 0)
+        return (merged.keys, merged.counts, merged.size[None],
+                ovf + jax.lax.psum(over, "d"))
+
+    def solid_local(packed, vlen, rid, start, rlen,
+                    skeys, scounts, ssize, nkeys, ncounts, nsize,
+                    min_pos, seed_fw, bf_bits, cov_threshold, ovf):
+        bases = kmer_mod.unpack_bases(packed)
+        s_canon, s_valid, _ = solid_mod.short_kmer_positions(
+            bases, vlen, start, rlen, stride, short_k, k)
+        ls = s_canon.shape[-1]
+        # per-position short counts: route queries to owners, look up the
+        # owner's shard table, ride back.
+        routed = sh.route_to_owners(
+            s_canon.reshape(-1, ls), s_valid.reshape(-1),
+            s_valid.reshape(-1), n, cap_s, short_k)
+        stbl = count_mod.KmerTable(skeys, scounts, ssize[0])
+        r_counts = count_mod.lookup_join(stbl, routed.recv_kmers)
+        r_counts = jnp.where(routed.recv_flags > 0, r_counts, 0)
+        per_pos = sh.route_values_back(routed, r_counts, nl_s)
+        short_counts = per_pos.reshape(cl, p_short)
+
+        w = k - short_k + 1
+        cov_est = window_min(short_counts, w)
+        fwk, valid_k = kmer_mod.extract_kmers(bases, vlen, k)
+        canon_k, _ = kmer_mod.canonical(fwk, k)
+        owned_k = solid_mod.owned_mask(start, rlen, stride, pk, k, k) & valid_k
+        is_solid = (cov_est >= cov_threshold) & valid_k
+        solid_owned = is_solid & owned_k
+
+        lk = canon_k.shape[-1]
+        routed_k = sh.route_to_owners(
+            canon_k.reshape(-1, lk), solid_owned.reshape(-1),
+            solid_owned.reshape(-1), n, cap_k, k)
+        batch_nodes = count_mod.count_kmers(
+            routed_k.recv_kmers, routed_k.recv_flags == 2, k=k)
+        ntbl = count_mod.KmerTable(nkeys, ncounts, nsize[0])
+        nmerged = count_mod.merge_into(ntbl, batch_nodes, node_shard_cap)
+        over = routed_k.overflow + jnp.maximum(
+            nmerged.size - node_shard_cap, 0)
+
+        if add_to_bloom:
+            bf_local = bloom_mod.BloomFilter(bf_bits, bf_log2, bf_hashes)
+            bf_local = bloom_mod.bloom_add(
+                bf_local, canon_k.reshape(-1, lk), k,
+                mask=solid_owned.reshape(-1))
+            bf_bits = jax.lax.pmax(bf_local.bits, "d")
+
+        # ---- seeds: first solid owned position per read, global ----
+        local_pos = jnp.arange(pk, dtype=jnp.int32)[None, :]
+        gpos = start[:, None] + local_pos
+        gpos_m = jnp.where(solid_owned, gpos, big)
+        chunk_min = jnp.min(gpos_m, axis=1)
+        min_l = jax.ops.segment_min(chunk_min, rid, num_segments=num_reads)
+        min_l = jnp.minimum(min_l, big)
+        batch_min = jax.lax.pmin(min_l, "d")
+        # local flat index of the winning position (if held locally)
+        rid_b = jnp.broadcast_to(rid[:, None], (cl, pk))
+        flat = (jnp.arange(cl, dtype=jnp.int32)[:, None] * pk + local_pos)
+        cand = jnp.where(solid_owned & (gpos == batch_min[rid_b]), flat, big)
+        cmin = jnp.min(cand, axis=1)
+        fidx = jax.ops.segment_min(cmin, rid, num_segments=num_reads)
+        have = fidx < big
+        kmer_here = jnp.where(
+            have[:, None],
+            fwk.reshape(-1, lk)[jnp.clip(fidx, 0, nl_k - 1)], np.uint32(0))
+        batch_seed = jax.lax.pmax(kmer_here, "d")
+        upd = batch_min < min_pos
+        seed_fw = jnp.where(upd[:, None], batch_seed, seed_fw)
+        min_pos = jnp.minimum(min_pos, batch_min)
+
+        return (nmerged.keys, nmerged.counts, nmerged.size[None],
+                min_pos, seed_fw, bf_bits, ovf + jax.lax.psum(over, "d"))
+
+    def cov_local(dbg, packed, vlen, start, rlen, pb, nb, node_cov,
+                  jun_tally):
+        bases = kmer_mod.unpack_bases(packed)
+        cov = cov_mod.count_coverage(
+            dbg, k, bases, vlen, start, rlen, pb, nb)
+        return (node_cov + jax.lax.psum(cov.node_cov, "d"),
+                jun_tally + jax.lax.psum(cov.jun_tally, "d"))
+
+    Pd, Pr = P("d"), P()
+    count_fn = jax.jit(shard_map(
+        count_local, mesh=mesh,
+        in_specs=(Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pr),
+        out_specs=(Pd, Pd, Pd, Pr), check_vma=False))
+    solid_fn = jax.jit(shard_map(
+        solid_local, mesh=mesh,
+        in_specs=(Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd,
+                  Pr, Pr, Pr, Pr, Pr),
+        out_specs=(Pd, Pd, Pd, Pr, Pr, Pr, Pr), check_vma=False))
+
+    def make_cov_fn(dbg):
+        dbg_spec = jax.tree.map(lambda _: Pr, dbg)
+        return jax.jit(shard_map(
+            cov_local, mesh=mesh,
+            in_specs=(dbg_spec, Pd, Pd, Pd, Pd, Pd, Pd, Pr, Pr),
+            out_specs=(Pr, Pr), check_vma=False))
+
+    return count_fn, solid_fn, make_cov_fn
+
+
 def assemble_streaming(source, config: AssemblyConfig,
                        log: Optional[PipelineLog] = None,
                        write_output: bool = True,
                        short_cap: int = 0, node_cap: int = 0,
-                       slice_chunks: int = 2048) -> AssemblyResult:
+                       slice_chunks: int = 2048,
+                       mesh=None) -> AssemblyResult:
     """Bounded-memory assembly.  ``slice_chunks`` chunks are resident per
     device step; ``short_cap``/``node_cap`` default to 4x/2x the slice
     position count (suitable when the genome is smaller than the read
-    volume -- pass explicit caps for high-coverage data)."""
+    volume -- pass explicit caps for high-coverage data).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with axis 'd' -- each slice
+    is processed data-parallel across the mesh with the accumulated count
+    and node tables HASH-PREFIX SHARDED over devices (all-to-all routing,
+    ``_make_mesh_slice_fns``): BASELINE config 5's "chr21, sharded k-mer
+    table, >=2 hosts, bounded memory" topology.  Output is bitwise-equal
+    to the single-device streaming path."""
     log = log or PipelineLog(config.log_path, echo=False)
     t0 = time.time()
 
@@ -170,6 +324,9 @@ def assemble_streaming(source, config: AssemblyConfig,
     k = config.k
     short_k = min(config.short_k, k)
     p_short = config.chunk_len - short_k + 1
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if mesh is not None and slice_chunks % n_dev:
+        slice_chunks += n_dev - slice_chunks % n_dev
     if short_cap <= 0:
         short_cap = _next_pow2(4 * slice_chunks * p_short)
     if node_cap <= 0:
@@ -189,6 +346,10 @@ def assemble_streaming(source, config: AssemblyConfig,
         counts=jnp.zeros((cap,), jnp.int32),
         size=jnp.zeros((), jnp.int32))
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from platanus3_tpu.parallel.sharded import to_global
+
     def slice_arrays(lo, hi):
         pad = slice_chunks - (hi - lo)
         def cut(a, fill=0):
@@ -196,48 +357,113 @@ def assemble_streaming(source, config: AssemblyConfig,
             if pad:
                 s = np.concatenate(
                     [s, np.full((pad,) + s.shape[1:], fill, s.dtype)])
-            return jnp.asarray(s)
+            return (jnp.asarray(s) if mesh is None
+                    else to_global(mesh, s, P("d")))
         return (cut(batch.packed), cut(batch.valid_len), cut(batch.read_id),
                 cut(batch.start), cut(batch.read_len),
                 cut(batch.prev_base, 4), cut(batch.next_base, 4))
 
-    # ---- pass 1: global short-k count table ----
-    short_table = empty(short_cap, l_s)
-    ovf = jnp.zeros((), bool)
-    for lo, hi in _slices(c_total, slice_chunks):
-        packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
-        short_table, ovf = _count_slice(packed, vlen, start, rlen,
-                                        short_table, ovf, k=k,
-                                        short_k=short_k,
-                                        short_cap=short_cap)
-    n_short = int(short_table.size)
-    if bool(ovf):
-        raise RuntimeError(
-            f"short_cap {short_cap} overflow during streaming merge "
-            f"(size reached > cap mid-stream; counts would be wrong); "
-            f"re-run with larger short_cap")
-    log.write(f"[streaming] pass1 done: {n_short} distinct short k-mers")
+    if mesh is not None:
+        # ---- mesh passes 1+2: hash-prefix-sharded accumulators ----
+        sscap = -(-short_cap // n_dev)
+        nscap = -(-node_cap // n_dev)
+        count_fn, solid_fn, make_cov_fn = _make_mesh_slice_fns(
+            mesh, k=k, short_k=short_k, chunk_len=config.chunk_len,
+            slice_chunks=slice_chunks, num_reads=batch.num_reads,
+            short_shard_cap=sscap, node_shard_cap=nscap,
+            add_to_bloom=need_bloom, bf_log2=bf.log2_bits,
+            bf_hashes=bf.num_hashes)
+        tgr = lambda x: to_global(mesh, np.asarray(x), P())
+        tgd = lambda x: to_global(mesh, np.asarray(x), P("d"))
 
-    # ---- pass 2: solidity, node set, seeds ----
-    node_table = empty(node_cap, l_k)
-    min_pos = jnp.full((batch.num_reads,), np.int32(2**30))
-    seed_fw = jnp.zeros((batch.num_reads, l_k), jnp.uint32)
-    ovf = jnp.zeros((), bool)
-    for lo, hi in _slices(c_total, slice_chunks):
-        packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
-        node_table, seed_fw, min_pos, bf, ovf = _solid_slice(
-            packed, vlen, rid, start, rlen, short_table, node_table,
-            min_pos, seed_fw, bf, ovf, k=k, short_k=short_k,
-            cov_threshold=config.cov_threshold, node_cap=node_cap,
-            num_reads=batch.num_reads, add_to_bloom=need_bloom)
-    num_nodes = int(node_table.size)
-    if bool(ovf):
-        raise RuntimeError(
-            f"node_cap {node_cap} overflow during streaming merge "
-            f"(size reached > cap mid-stream); re-run with larger "
-            f"node_cap")
-    has_seed = min_pos < np.int32(2**30)
-    log.write(f"[streaming] pass2 done: {num_nodes} solid nodes")
+        skeys = tgd(np.full((n_dev * sscap, l_s), 0xFFFFFFFF, np.uint32))
+        scounts = tgd(np.zeros(n_dev * sscap, np.int32))
+        ssizes = tgd(np.zeros(n_dev, np.int32))
+        ovf = tgr(np.zeros((), np.int32))
+        for lo, hi in _slices(c_total, slice_chunks):
+            packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
+            skeys, scounts, ssizes, ovf = count_fn(
+                packed, vlen, start, rlen, skeys, scounts, ssizes, ovf)
+        if int(jax.device_get(ovf)):
+            raise RuntimeError(
+                f"sharded short-table overflow ({int(jax.device_get(ovf))}"
+                f" rows); re-run with larger short_cap / slack")
+        n_short = int(np.sum(np.asarray(ssizes)))
+        log.write(f"[streaming] pass1 done (mesh {n_dev}): {n_short} "
+                  f"distinct short k-mers")
+
+        nkeys = tgd(np.full((n_dev * nscap, l_k), 0xFFFFFFFF, np.uint32))
+        ncounts = tgd(np.zeros(n_dev * nscap, np.int32))
+        nsizes = tgd(np.zeros(n_dev, np.int32))
+        min_pos = tgr(np.full(batch.num_reads, 2**30, np.int32))
+        seed_fw = tgr(np.zeros((batch.num_reads, l_k), np.uint32))
+        bf_bits = tgr(np.asarray(bf.bits))
+        cov_thr = tgr(np.asarray(config.cov_threshold, np.int32))
+        ovf = tgr(np.zeros((), np.int32))
+        for lo, hi in _slices(c_total, slice_chunks):
+            packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
+            (nkeys, ncounts, nsizes, min_pos, seed_fw, bf_bits,
+             ovf) = solid_fn(packed, vlen, rid, start, rlen,
+                             skeys, scounts, ssizes,
+                             nkeys, ncounts, nsizes,
+                             min_pos, seed_fw, bf_bits, cov_thr, ovf)
+        if int(jax.device_get(ovf)):
+            raise RuntimeError(
+                f"sharded node-table overflow ({int(jax.device_get(ovf))}"
+                f" rows); re-run with larger node_cap / slack")
+        bf = bf._replace(bits=bf_bits)
+
+        # Merge shard tables into one replicated lex-sorted node table.
+        repl = jax.sharding.NamedSharding(mesh, P())
+        @partial(jax.jit, static_argnames=("cap",), out_shardings=repl)
+        def _merge_shards(keys, sizes, *, cap):
+            row = jnp.arange(keys.shape[0])
+            valid = (row % cap) < sizes[row // cap]
+            return count_mod.count_kmers(keys, valid, k=k)
+        node_table = _merge_shards(nkeys, nsizes, cap=nscap)
+        num_nodes = int(node_table.size)
+        has_seed = min_pos < np.int32(2**30)
+        log.write(f"[streaming] pass2 done (mesh {n_dev}): {num_nodes} "
+                  f"solid nodes")
+    else:
+        make_cov_fn = None
+        # ---- pass 1: global short-k count table ----
+        short_table = empty(short_cap, l_s)
+        ovf = jnp.zeros((), bool)
+        for lo, hi in _slices(c_total, slice_chunks):
+            packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
+            short_table, ovf = _count_slice(packed, vlen, start, rlen,
+                                            short_table, ovf, k=k,
+                                            short_k=short_k,
+                                            short_cap=short_cap)
+        n_short = int(short_table.size)
+        if bool(ovf):
+            raise RuntimeError(
+                f"short_cap {short_cap} overflow during streaming merge "
+                f"(size reached > cap mid-stream; counts would be wrong); "
+                f"re-run with larger short_cap")
+        log.write(f"[streaming] pass1 done: {n_short} distinct short k-mers")
+
+        # ---- pass 2: solidity, node set, seeds ----
+        node_table = empty(node_cap, l_k)
+        min_pos = jnp.full((batch.num_reads,), np.int32(2**30))
+        seed_fw = jnp.zeros((batch.num_reads, l_k), jnp.uint32)
+        ovf = jnp.zeros((), bool)
+        for lo, hi in _slices(c_total, slice_chunks):
+            packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
+            node_table, seed_fw, min_pos, bf, ovf = _solid_slice(
+                packed, vlen, rid, start, rlen, short_table, node_table,
+                min_pos, seed_fw, bf, ovf, k=k, short_k=short_k,
+                cov_threshold=config.cov_threshold, node_cap=node_cap,
+                num_reads=batch.num_reads, add_to_bloom=need_bloom)
+        num_nodes = int(node_table.size)
+        if bool(ovf):
+            raise RuntimeError(
+                f"node_cap {node_cap} overflow during streaming merge "
+                f"(size reached > cap mid-stream); re-run with larger "
+                f"node_cap")
+        has_seed = min_pos < np.int32(2**30)
+        log.write(f"[streaming] pass2 done: {num_nodes} solid nodes")
 
     # ---- graph (genome-sized, single shot) ----
     cap = max(8, _next_pow2(num_nodes))
@@ -255,6 +481,17 @@ def assemble_streaming(source, config: AssemblyConfig,
     # ---- pass 3: coverage accumulation ----
     def accumulate_coverage(dbg):
         m = dbg.nodes.shape[0]
+        if mesh is not None:
+            cov_fn = make_cov_fn(dbg)
+            node_cov = to_global(mesh, np.zeros(m, np.int32), P())
+            jun_tally = to_global(mesh, np.zeros((m, 8), np.int32), P())
+            for lo, hi in _slices(c_total, slice_chunks):
+                packed, vlen, rid, start, rlen, pb, nb = slice_arrays(lo, hi)
+                node_cov, jun_tally = cov_fn(
+                    dbg, packed, vlen, start, rlen, pb, nb, node_cov,
+                    jun_tally)
+            return cov_mod.CoverageResult(node_cov=node_cov,
+                                          jun_tally=jun_tally)
         node_cov = jnp.zeros((m,), jnp.int32)
         jun_tally = jnp.zeros((m, 8), jnp.int32)
         for lo, hi in _slices(c_total, slice_chunks):
