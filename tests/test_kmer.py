@@ -14,7 +14,9 @@ from platanus3_tpu.ops import kmer as K
 
 RNG = np.random.default_rng(0)
 
-KS = [5, 15, 16, 17, 21, 25, 31, 32, 33, 63, 64, 101, 128]
+# 501/1001 cover the reference's large-k template envelope
+# (src/Assemble.cpp:31-53 instantiates k up to 3001) -- VERDICT r1 #8.
+KS = [5, 15, 16, 17, 21, 25, 31, 32, 33, 63, 64, 101, 128, 501, 1001]
 
 
 def random_kmers(n, k):

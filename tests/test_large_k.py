@@ -1,0 +1,69 @@
+"""Large-k end-to-end coverage (VERDICT r1 missing #4 / next-round #8).
+
+The reference instantiates ``std::bitset<2k>`` templates for k up to 3001
+(``src/Assemble.cpp:31-53``); this framework's multi-lane uint32 k-mers
+support any k >= 4, but round 1 only ever tested k <= 128 and the default
+``chunk_len=1024`` silently violated the ``chunk_len >= 2k`` chunking
+invariant past k=512.  ``AssemblyConfig.__post_init__`` now auto-sizes
+``chunk_len``; these tests pin the envelope at k=501 and k=1001,
+including a golden equality run against the reference binary at k=501
+(a k the reference's whitelist actually supports).
+"""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from platanus3_tpu.config import AssemblyConfig
+from platanus3_tpu.constants import canonical_str
+from platanus3_tpu.pipeline import assemble
+
+from tests.test_golden import (needs_ref, rand_genome, tiled_reads,
+                               run_reference, run_ours)
+
+RNG = np.random.default_rng(77)
+
+
+def test_config_autosizes_chunk_len_for_large_k():
+    assert AssemblyConfig(k=25).chunk_len == 1024          # default kept
+    c = AssemblyConfig(k=501)
+    assert c.chunk_len >= 2 * 501 and c.chunk_len % 16 == 0
+    c = AssemblyConfig(k=1001)
+    assert c.chunk_len >= 2 * 1001 and c.chunk_len % 16 == 0
+    # multi-k sizes for the largest k in the schedule
+    c = AssemblyConfig(k=32, k_list=(32, 64, 751))
+    assert c.chunk_len >= 2 * 751
+    # an explicit adequate chunk_len is never shrunk
+    assert AssemblyConfig(k=501, chunk_len=4096).chunk_len == 4096
+
+
+@pytest.mark.parametrize("k", [501, 1001])
+def test_assemble_large_k_end_to_end(k):
+    """Clean genome, default (auto-sized) chunk_len: one unitig spanning
+    the genome + 2 terminal junctions, exactly like the small-k oracle
+    property (SURVEY.md §4)."""
+    genome = rand_genome(3 * k + 1800, RNG)
+    reads = tiled_reads(genome, 2 * k + 200, (k + 100) // 4)
+    cfg = AssemblyConfig(k=k, filter_bits=1 << 22, log_path=None)
+    res = assemble(reads, cfg, write_output=False)
+    assert res.num_straights == 1
+    assert res.num_junctions == 2
+    s = res.straight_seqs[0]
+    assert canonical_str(s) in (canonical_str(genome[i:i + len(s)])
+                                for i in range(len(genome) - len(s) + 1))
+    # the unitig must span nearly the whole genome (ends lose < 2k bases
+    # to sub-threshold coverage at the tiling boundaries)
+    assert len(s) > len(genome) - 2 * k
+
+
+@needs_ref
+def test_golden_k501_matches_reference(tmp_path):
+    genome = rand_genome(2600, RNG)
+    reads = tiled_reads(genome, 1300, 260)
+    m = 1 << 22
+    ref_s, ref_j, ref_l = run_reference(reads, 501, m, str(tmp_path))
+    our_s, our_j, our_l = run_ours(reads, 501, m)
+    assert our_s == ref_s
+    assert our_j == ref_j
+    assert our_l == ref_l
