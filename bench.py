@@ -1,16 +1,21 @@
 """Benchmark: canonical k-mers/sec/chip through the counting hot path.
 
 BASELINE metric: "k-mers/sec/chip (count+Bloom)".  The production
-configuration uses exact membership (the Bloom build's XLA scatter
-costs ~2.6 s for 200M probe bits vs 0.4 s for the whole counting sort;
-see AssemblyConfig.use_exact_membership), so the hot path benchmarked here
-is: 2-bit unpack -> canonical extraction (21-mers and k-mers) -> global
-sort count -> window-min solidity -> solid-node table build.  That is
+configuration uses exact membership -- the sorted solid-node table IS the
+membership structure, no separate Bloom build needed (see
+AssemblyConfig.use_exact_membership; `--membership bloom` builds the
+packed filter from the distinct node set, benchmarks/bloom_mode_bench.py
+measures that mode's full-pipeline ratio).  The hot path benchmarked here
+is: 2-bit unpack -> canonical extraction (21-mers and k-mers) -> sort+scan
+count -> window-min solidity -> solid-node table build.  That is
 everything the reference's stages A+B do (count + membership-structure
-construction).  ``vs_baseline`` is the ratio against the reference's
-measured ~1.9e5 canonical-k-mer ops/s (BASELINE.md).
+construction), hence the metric name `..._count_solid`.  ``vs_baseline``
+is the ratio against the reference's measured ~1.9e5 canonical-k-mer
+ops/s (BASELINE.md).
 
-Prints exactly one JSON line.
+Prints exactly one JSON line on stdout; a per-stage breakdown (same
+chained-execution timing applied to cumulative prefixes of the program,
+tools/stage1_profile.py style) goes to stderr.
 
 Timing notes for the tunneled TPU backend: block_until_ready() is not a
 completion barrier (async dispatch); only host fetches are.  Executions
@@ -49,7 +54,6 @@ def main():
     _ensure_backend()
     import jax.numpy as jnp
     from platanus3_tpu.io import reads as reads_mod
-    from platanus3_tpu.ops import bloom as bloom_mod
     from platanus3_tpu.ops import count as count_mod
     from platanus3_tpu.ops import solid as solid_mod
 
@@ -67,13 +71,31 @@ def main():
         reads.append(genome[s : s + read_len])
     batch = reads_mod.reads_from_strings(reads, k, chunk_len)
 
-    bf = bloom_mod.make_bloom(8, 1)  # placeholder (exact-membership mode)
+    from platanus3_tpu.ops import kmer as kmer_mod
+    stride = chunk_len - k + 1
 
-    @jax.jit
+    def prefix_extract(packed, valid_len, read_id, start, read_len_a):
+        bases = kmer_mod.unpack_bases(packed)
+        s_canon, s_valid, s_owned = solid_mod.short_kmer_positions(
+            bases, valid_len, start, read_len_a, stride, short_k, k)
+        fw, valid_k = kmer_mod.extract_kmers(bases, valid_len, k)
+        canon, _ = kmer_mod.canonical(fw, k)
+        return s_canon[0, 0], s_owned, canon
+
+    def prefix_count(packed, valid_len, read_id, start, read_len_a):
+        bases = kmer_mod.unpack_bases(packed)
+        s_canon, s_valid, s_owned = solid_mod.short_kmer_positions(
+            bases, valid_len, start, read_len_a, stride, short_k, k)
+        l_s = s_canon.shape[-1]
+        _, per_pos = count_mod.count_positions_table(
+            s_canon.reshape(-1, l_s), s_valid.reshape(-1),
+            s_owned.reshape(-1), k=short_k, want_table=False)
+        return per_pos[0], per_pos
+
     def stage1(packed, valid_len, read_id, start, read_len_a):
         result, _ = solid_mod.solid_kmers(
             (packed, valid_len, read_id, start, read_len_a),
-            k, short_k, cov_threshold, bf, add_to_bloom=False,
+            k, short_k, cov_threshold, None, add_to_bloom=False,
             need_short_table=False)
         l = result.canon.shape[-1]
         # Same one-sort node-table+ids build the production pipeline's
@@ -90,30 +112,47 @@ def main():
         jnp.asarray(batch.read_len),
     ]
 
-    def run_chain(n_iters):
-        vlen = args[1]
-        t0 = time.time()
-        size = None
-        for _ in range(n_iters):
-            # Serialize: next iteration's valid_len depends on the previous
-            # size (value-preserving min with a huge dynamic bound).
-            size, keys = stage1(args[0], vlen, args[2], args[3], args[4])
-            vlen = jnp.minimum(args[1], size + np.int32(2**30))
-        _ = int(size) + int(keys[0, 0])  # completion barrier (host fetch)
-        return time.time() - t0
+    def measure(fn):
+        f = jax.jit(fn)
 
-    run_chain(1)  # compile + backend warmup
-    run_chain(1)  # first-fetch warmup
-    t1 = min(run_chain(1) for _ in range(2))
-    t4 = min(run_chain(4) for _ in range(2))
-    dt = max((t4 - t1) / 3, 1e-9)
+        def run_chain(n_iters):
+            vlen = args[1]
+            t0 = time.time()
+            out = None
+            for _ in range(n_iters):
+                # Serialize: next iteration's valid_len depends on the
+                # previous output (value-preserving min with a huge
+                # dynamic bound).
+                out = f(args[0], vlen, args[2], args[3], args[4])
+                s = out[0] if out[0].ndim == 0 else out[0].reshape(-1)[0]
+                vlen = jnp.minimum(args[1],
+                                   s.astype(jnp.int32) + np.int32(2**30))
+            for leaf in out:  # completion barrier (host fetch)
+                np.asarray(leaf).reshape(-1)[:1]
+            return time.time() - t0
+
+        run_chain(1)  # compile + backend warmup
+        run_chain(1)  # first-fetch warmup
+        t1 = min(run_chain(1) for _ in range(2))
+        t4 = min(run_chain(4) for _ in range(2))
+        return max((t4 - t1) / 3, 1e-9)
+
+    dt = measure(stage1)
+    # ---- per-stage breakdown (stderr; VERDICT r1 item 5) ----
+    t_e = measure(prefix_extract)
+    t_c = measure(prefix_count)
+    print(f"# breakdown: extract+canon {t_e*1e3:.0f} ms | short-count "
+          f"sort+scan +{(t_c-t_e)*1e3:.0f} ms | windowmin+node-table+seeds "
+          f"+{(dt-t_c)*1e3:.0f} ms | full stage1 {dt*1e3:.0f} ms "
+          f"(finer split: tools/stage1_profile.py)", file=sys.stderr,
+          flush=True)
 
     c = batch.num_chunks
     kmer_positions = c * (chunk_len - short_k + 1) + c * (chunk_len - k + 1)
     value = kmer_positions / dt
     baseline = 1.9e5  # reference: canonical-kmer ops/s, 2 CPU cores
     print(json.dumps({
-        "metric": "kmers_per_sec_per_chip_count_bloom",
+        "metric": "kmers_per_sec_per_chip_count_solid",
         "value": round(value, 1),
         "unit": "canonical kmers/s",
         "vs_baseline": round(value / baseline, 2),

@@ -40,7 +40,14 @@ def build_parser():
     p.add_argument("--k-list", type=str, default="",
                    help="comma-separated multi-k schedule, e.g. 32,64,128")
     p.add_argument("--clip-tips", action="store_true")
+    p.add_argument("--tip-max-len", type=int, default=0,
+                   help="tip length cutoff (0 = auto, 2k)")
+    p.add_argument("--tip-cov-ratio", type=float, default=0.0,
+                   help="also clip tips coverage-dominated by this ratio")
     p.add_argument("--pop-bubbles", action="store_true")
+    p.add_argument("--bubble-len-ratio", type=float, default=1.2)
+    p.add_argument("--simplify-rounds", type=int, default=3,
+                   help="simplification rounds (0 = to fixpoint)")
     p.add_argument("--no-seed-restrict", action="store_true",
                    help="emit all components, not only seed-reachable ones")
     p.add_argument("--membership", choices=["exact", "bloom"],
@@ -104,7 +111,11 @@ def main(argv=None):
         chunk_len=args.chunk_len,
         k_list=k_list,
         clip_tips=args.clip_tips,
+        tip_max_len=args.tip_max_len,
+        tip_cov_ratio=args.tip_cov_ratio,
         pop_bubbles=args.pop_bubbles,
+        bubble_len_ratio=args.bubble_len_ratio,
+        simplify_rounds=args.simplify_rounds,
         restrict_to_seeds=not args.no_seed_restrict,
         use_exact_membership=(args.membership == "exact"
                               or args.exact_membership),

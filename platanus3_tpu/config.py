@@ -69,8 +69,14 @@ class AssemblyConfig:
     # --- graph simplification (new vs reference; BASELINE configs 3-4) ---
     clip_tips: bool = False
     tip_max_len: int = 0            # 0 = auto (2*k)
+    tip_cov_ratio: float = 0.0      # >0: also clip one-dead-end unitigs
+                                    # whose mean coverage is <= 1/ratio of
+                                    # their attach junction's (length-
+                                    # bounded at 4*tip_max_len)
     pop_bubbles: bool = False
-    simplify_rounds: int = 3
+    bubble_len_ratio: float = 1.2   # arm lengths within this ratio of the
+                                    # group's best arm are poppable
+    simplify_rounds: int = 3        # 0 = iterate to fixpoint (capped 100)
 
     # --- multi-k iteration (BASELINE config 4) ---
     k_list: tuple = ()              # e.g. (32, 64, 128); empty = single k

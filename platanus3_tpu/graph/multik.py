@@ -3,11 +3,16 @@
 NEW capability with no reference counterpart: assemble at increasing k
 (e.g. 32 -> 64 -> 128), re-seeding each round's graph with the previous
 round's unitigs.  Small k recovers low-coverage regions; large k resolves
-repeats.  Re-seeding works by injecting each unitig as ``cov_threshold``
-pseudo-read copies, so every k-mer on a previously-assembled unitig passes
-the solidity filter at the next k even where raw read coverage is thin --
-the standard IDBA/SPAdes-style multi-k scheme expressed through this
-framework's existing solidity machinery.
+repeats -- the standard IDBA/SPAdes-style multi-k scheme.
+
+Re-seeding rides the pipeline's ``extra_solid`` hook: prior unitigs'
+k-mers are merged straight into the next round's node table (and their
+first k-mers into the seed set), bypassing the solidity filter without
+touching the read batch.  Reads are parsed/packed from source ONCE, the
+read volume never inflates (round 1 injected every unitig as
+``cov_threshold`` pseudo-read copies -- re-counted, re-sorted, and
+coverage-inflating every round), and coverage/KC values stay purely
+read-derived.
 """
 
 from __future__ import annotations
@@ -32,14 +37,13 @@ def assemble_multik(source, config: AssemblyConfig, log=None, mesh=None,
     res = None
     for i, k in enumerate(ks):
         cfg_k = dataclasses.replace(config, k=k, k_list=())
-        pseudo = list(reads)
+        extra = None
         if res is not None:
-            for seq in res.straight_seqs:
-                if len(seq) >= k:
-                    pseudo.extend([seq] * config.cov_threshold)
+            extra = [s for s in res.straight_seqs if len(s) >= k]
         last = i == len(ks) - 1
-        res = assemble(pseudo, cfg_k, log=log, mesh=mesh,
-                       write_output=write_output and last)
+        res = assemble(reads, cfg_k, log=log, mesh=mesh,
+                       write_output=write_output and last,
+                       extra_solid=extra or None)
         if log:
             log.write(f"multi-k round k={k}: {res.num_straights} straights, "
                       f"{res.num_junctions} junctions")

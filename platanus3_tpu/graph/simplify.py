@@ -77,8 +77,20 @@ def endpoint_junctions(dbg_np):
     return head_j, head_far, tail_j, tail_far
 
 
-def tip_mask(dbg_np, k: int, tip_max_len: int = 0) -> np.ndarray:
-    """[U] bool: unitigs to clip as tips."""
+def tip_mask(dbg_np, k: int, tip_max_len: int = 0,
+             ucov: np.ndarray | None = None,
+             node_cov: np.ndarray | None = None,
+             cov_ratio: float = 0.0) -> np.ndarray:
+    """[U] bool: unitigs to clip as tips.
+
+    A one-dead-end unitig is clipped when it is short
+    (``seq_len <= tip_max_len``), OR -- with ``cov_ratio > 0`` -- when its
+    mean coverage is dominated by the junction it hangs off
+    (``cov_ratio * ucov <= node_cov[junction]``, length-bounded at
+    ``4*tip_max_len`` so genuine low-coverage contigs survive).  The
+    coverage rule catches error tips longer than 2k that a pure length
+    cutoff misses (SPAdes-style relative-coverage tip condition).
+    """
     num_u = int(dbg_np.num_unitigs)
     if num_u == 0:
         return np.zeros(0, bool)
@@ -89,12 +101,26 @@ def tip_mask(dbg_np, k: int, tip_max_len: int = 0) -> np.ndarray:
     head_j, head_far, tail_j, tail_far = endpoint_junctions(dbg_np)
     dead_head = (head_j < 0) | (head_far == 0)
     dead_tail = (tail_j < 0) | (tail_far == 0)
-    return ((dead_head ^ dead_tail) & (seq_len <= tip_max_len) & ~circ)
+    is_tip = (dead_head ^ dead_tail) & ~circ
+    clip = is_tip & (seq_len <= tip_max_len)
+    if cov_ratio > 0 and ucov is not None and node_cov is not None:
+        att_j = np.where(dead_head, tail_j, head_j)  # the live end
+        att_cov = np.asarray(node_cov)[np.clip(att_j, 0, None)]
+        weak = (cov_ratio * ucov <= att_cov) & (att_j >= 0)
+        clip |= is_tip & weak & (seq_len <= 4 * tip_max_len)
+    return clip
 
 
 def bubble_mask(dbg_np, ucov: np.ndarray, k: int,
                 len_ratio: float = 1.2) -> np.ndarray:
-    """[U] bool: unitigs to pop as bubble arms (keep best per group)."""
+    """[U] bool: unitigs to pop as bubble arms (keep best per group).
+
+    Fully vectorized: arms are grouped by their unordered bounding
+    junction pair with one lexsort (no per-group Python iteration --
+    O(U log U) total, chromosome-scale safe); within a group the
+    highest-coverage arm wins and every other arm whose length is within
+    ``len_ratio`` of the winner's is popped.
+    """
     num_u = int(dbg_np.num_unitigs)
     if num_u == 0:
         return np.zeros(0, bool)
@@ -106,18 +132,20 @@ def bubble_mask(dbg_np, ucov: np.ndarray, k: int,
     b = np.maximum(head_j, tail_j)
     valid = (head_j >= 0) & (tail_j >= 0) & ~circ & (a != b)
     drop = np.zeros(num_u, bool)
-    groups = {}
-    for u in np.nonzero(valid)[0]:
-        groups.setdefault((int(a[u]), int(b[u])), []).append(int(u))
-    for (_, us) in groups.items():
-        if len(us) < 2:
-            continue
-        us = sorted(us, key=lambda u: (-ucov[u], u))
-        best = us[0]
-        for u in us[1:]:
-            lo, hi = sorted((seq_len[u], seq_len[best]))
-            if hi <= lo * len_ratio:
-                drop[u] = True
+    idx = np.nonzero(valid)[0]
+    if idx.size < 2:
+        return drop
+    # group-major order; within a group best arm first (cov desc, id asc)
+    order = idx[np.lexsort((idx, -np.asarray(ucov)[idx], b[idx], a[idx]))]
+    ga, gb = a[order], b[order]
+    new_grp = np.empty(order.size, bool)
+    new_grp[0] = True
+    new_grp[1:] = (ga[1:] != ga[:-1]) | (gb[1:] != gb[:-1])
+    gid = np.cumsum(new_grp) - 1
+    best_u = order[np.nonzero(new_grp)[0]][gid]   # group winner, per arm
+    ln, bl = seq_len[order], seq_len[best_u]
+    lo, hi = np.minimum(ln, bl), np.maximum(ln, bl)
+    drop[order[~new_grp & (hi <= lo * len_ratio)]] = True
     return drop
 
 
@@ -147,11 +175,18 @@ def decide_drops(dbg_np, node_cov_np, config):
     each rebuild)."""
     num_u = int(dbg_np.num_unitigs)
     drop = np.zeros(num_u, bool)
-    if config.clip_tips:
-        drop |= tip_mask(dbg_np, config.k, config.tip_max_len)
-    if config.pop_bubbles:
+    ucov = None
+    tip_cov_ratio = getattr(config, "tip_cov_ratio", 0.0)
+    if (config.pop_bubbles or tip_cov_ratio > 0) and num_u:
         ucov = unitig_coverage(dbg_np, np.asarray(node_cov_np))
-        drop |= bubble_mask(dbg_np, ucov, config.k)
+    if config.clip_tips:
+        drop |= tip_mask(dbg_np, config.k, config.tip_max_len,
+                         ucov=ucov, node_cov=node_cov_np,
+                         cov_ratio=tip_cov_ratio)
+    if config.pop_bubbles:
+        drop |= bubble_mask(dbg_np, ucov, config.k,
+                            len_ratio=getattr(config, "bubble_len_ratio",
+                                              1.2))
     if not drop.any():
         return None, 0
     return node_keep_mask(dbg_np, drop), int(drop.sum())

@@ -1,22 +1,32 @@
-"""Bloom filter over device arrays.
+"""Bloom filter over device arrays (packed uint32 words).
 
 TPU-native re-design of ``BF<Key>`` (reference ``src/bloomfilter.cpp``):
-instead of one ``std::vector<bool>`` probed k-mer-at-a-time, the filter is a
-device-resident bit array and add/query are BULK operations over whole
-k-mer batches -- scatter-max for add, gather+reduce for query.  Membership
-semantics match the reference exactly: ``num_hashes`` double-hash probes,
-no false negatives, early-exit AND for queries (XLA fuses the reduction).
+instead of one ``std::vector<bool>`` probed k-mer-at-a-time, the filter is
+a device-resident PACKED bit array (32 bits per uint32 word) and add/query
+are BULK operations over whole k-mer batches.  Membership semantics match
+the reference exactly: ``num_hashes`` double-hash probes, no false
+negatives, AND over probes for queries (``BF::possiblyContains``,
+``src/bloomfilter.cpp:76-86``).
 
-Representation: one byte per bit (``uint8``), which maps to plain XLA
-scatter/gather.  A power-of-two size makes the probe modulus a mask (see
-``ops/hashing.py``).  The byte representation costs 8x HBM vs packed bits
-but removes the need for read-modify-write bit ops; a packed-u32 Pallas
-variant is the planned speed-of-light upgrade and can reuse this module's
-probe math unchanged.
+Build is fully VECTORIZED -- no scalar-core scatter of individual probe
+bits (round 1 used a byte-per-bit array + scatter-max, 8x the HBM and
+~75M scalar updates/s).  The OR-scatter a packed filter needs is
+re-expressed as sort + dedup + scatter-ADD:
+
+  1. probe bit positions for the whole batch (``ops/hashing.py``, VPU);
+  2. one ``lax.sort`` of the positions (TPU sorts are bandwidth-bound);
+  3. drop duplicate positions (compare-with-neighbor mask) -- after
+     dedup every surviving (word, bit) pair is unique, so per-word SUM of
+     ``1 << bit`` equals per-word OR;
+  4. one scatter-add builds the delta word array, OR'd into the filter.
+
+Duplicate k-mers in the batch are therefore free (idempotent), which the
+pipeline exploits by inserting each stage's DISTINCT solid-k-mer table
+instead of every read position (~coverage-fold less work).
 
 The filter is a pytree, so it threads through ``jit``/``shard_map``; the
-multi-host merge is an elementwise ``max`` (== bitwise OR), see
-``parallel/``.
+multi-host merge is a bitwise OR (``bloom_merge``; inside ``shard_map``
+use ``parallel.sharded.or_allreduce``).
 """
 
 from __future__ import annotations
@@ -36,8 +46,9 @@ __all__ = ["BloomFilter", "make_bloom", "bloom_add", "bloom_query",
 class BloomFilter(NamedTuple):
     """Pytree Bloom filter.
 
-    bits:       ``[2^log2_bits] uint8`` (0/1 per probe position)
-    log2_bits:  static int
+    bits:       ``[2^log2_bits / 32] uint32`` packed words (bit ``p`` of
+                the filter is word ``p >> 5``, bit ``p & 31``)
+    log2_bits:  static int (power-of-two size -> probe modulus is a mask)
     num_hashes: static int (reference default 10, ``src/Options.cpp:12``)
     """
 
@@ -55,7 +66,7 @@ jax.tree_util.register_pytree_node(
 
 
 def log2_ceil(n: int) -> int:
-    return max(3, int(n - 1).bit_length())
+    return max(5, int(n - 1).bit_length())
 
 
 def make_bloom(min_bits: int, num_hashes: int) -> BloomFilter:
@@ -63,9 +74,9 @@ def make_bloom(min_bits: int, num_hashes: int) -> BloomFilter:
     to a power of two; the reference size is used verbatim as a modulus,
     ``src/bloomfilter.cpp:66`` -- rounding up only lowers the FPR)."""
     lb = log2_ceil(min_bits)
-    assert lb <= 33, "filter larger than 2^33 bits not supported single-chip"
+    assert lb <= 31, "filter larger than 2^31 bits not supported single-chip"
     return BloomFilter(
-        bits=jnp.zeros((1 << lb,), dtype=jnp.uint8),
+        bits=jnp.zeros(((1 << lb) // 32,), dtype=jnp.uint32),
         log2_bits=lb,
         num_hashes=num_hashes,
     )
@@ -76,35 +87,45 @@ def _positions(bf: BloomFilter, kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     return hashing.probe_positions(h1, h2, bf.num_hashes, bf.log2_bits)
 
 
+_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
 def bloom_add(bf: BloomFilter, kmers: jnp.ndarray, k: int,
               mask: jnp.ndarray | None = None) -> BloomFilter:
     """Insert a batch of (canonical) k-mers ``[..., L]``.
 
-    ``mask`` (``[...] bool``) drops masked k-mers (their probes scatter
-    out-of-range and are dropped).  Scatter-max of 1 is an idempotent
-    bitwise OR, so duplicate probes are harmless -- the bulk analog of
-    ``BF::add`` (reference ``src/bloomfilter.cpp:68-74``).
+    ``mask`` (``[...] bool``) drops masked k-mers.  Bulk analog of
+    ``BF::add`` (reference ``src/bloomfilter.cpp:68-74``); duplicate
+    k-mers / colliding probes are deduplicated by the sort (idempotent
+    insert), see module docstring.
     """
-    pos = _positions(bf, kmers, k).astype(jnp.int32)
+    pos = _positions(bf, kmers, k)
     if mask is not None:
-        # Out-of-range + mode='drop' discards masked probes.
-        pos = jnp.where(mask[..., None], pos, np.int32(1) << 30)
-    bits = bf.bits.at[pos.reshape(-1)].max(np.uint8(1), mode="drop")
-    return bf._replace(bits=bits)
+        pos = jnp.where(mask[..., None], pos, _SENTINEL)
+    pos = jnp.sort(pos.reshape(-1))
+    prev = jnp.concatenate([jnp.full((1,), _SENTINEL, jnp.uint32), pos[:-1]])
+    keep = (pos != prev) & (pos != _SENTINEL)
+    # after dedup each (word, bit) pair appears once -> add == OR
+    word = jnp.where(keep, (pos >> np.uint32(5)).astype(jnp.int32),
+                     np.int32(1) << 30)
+    bitv = jnp.uint32(1) << (pos & np.uint32(31))
+    delta = jnp.zeros_like(bf.bits).at[word].add(bitv, mode="drop")
+    return bf._replace(bits=bf.bits | delta)
 
 
 def bloom_query(bf: BloomFilter, kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     """Batch membership query -> ``[...] bool``.
 
-    AND over ``num_hashes`` gathered probe bytes (``BF::possiblyContains``,
+    AND over ``num_hashes`` gathered probe bits (``BF::possiblyContains``,
     reference ``src/bloomfilter.cpp:76-86``).
     """
-    pos = _positions(bf, kmers, k).astype(jnp.int32)
-    probes = bf.bits[pos]
-    return jnp.min(probes, axis=-1) > 0
+    pos = _positions(bf, kmers, k)
+    w = (pos >> np.uint32(5)).astype(jnp.int32)
+    probe = (bf.bits[w] >> (pos & np.uint32(31))) & np.uint32(1)
+    return jnp.min(probe, axis=-1) > 0
 
 
 def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
     """Bitwise-OR merge of two filters (for sharded construction)."""
     assert a.log2_bits == b.log2_bits and a.num_hashes == b.num_hashes
-    return a._replace(bits=jnp.maximum(a.bits, b.bits))
+    return a._replace(bits=a.bits | b.bits)

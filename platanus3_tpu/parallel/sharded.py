@@ -116,6 +116,25 @@ def _a2a(x, n):
     ).reshape(x.shape)
 
 
+def or_allreduce(x, n, axis_name: str = "d"):
+    """Bitwise-OR allreduce of a 1-D integer array inside ``shard_map``.
+
+    No native OR collective exists, and ``psum``/``pmax`` are wrong for
+    packed bitmask words, so: reduce_scatter (one ``all_to_all`` of
+    equal segments, OR of the n received copies of this shard's segment)
+    + ``all_gather`` -- 2x the bytes of an ideal allreduce, all riding
+    ICI.  Used to merge packed Bloom filters (ops/bloom.py)."""
+    m = x.shape[0]
+    pad = (-m) % n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    seg = x.reshape(n, -1)
+    recv = jax.lax.all_to_all(seg, axis_name, split_axis=0, concat_axis=0)
+    local = jax.lax.reduce(recv, x.dtype.type(0), jax.lax.bitwise_or, (0,))
+    out = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
+    return out[:m] if pad else out
+
+
 def route_to_owners(canon, valid, contrib, n: int, cap: int, k: int) -> Routed:
     """Sort [N, L] canonical k-mers by hash owner ``h1 % n`` and exchange
     fixed-capacity buckets with one ``all_to_all``.  Invalid rows are never
@@ -230,25 +249,27 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         is_solid = (cov_est >= cov_threshold) & valid_k
         solid_owned = is_solid & owned_k
 
-        # ---- Bloom: local add + allreduce OR (skipped in exact mode) ----
-        lk = canon_k.shape[-1]
-        if add_to_bloom:
-            bf_local = bloom_mod.BloomFilter(bf_bits, bf.log2_bits,
-                                             bf.num_hashes)
-            bf_local = bloom_mod.bloom_add(
-                bf_local, canon_k.reshape(-1, lk), k,
-                mask=solid_owned.reshape(-1))
-            bits = jax.lax.pmax(bf_local.bits, "d")
-        else:
-            bits = bf_bits
-
         # ---- node set: hash-route solid k-mers, dedupe shard-locally ----
+        lk = canon_k.shape[-1]
         per_k, node_shard, ovf_k = _route_and_count(
             canon_k.reshape(-1, lk), solid_owned.reshape(-1),
             solid_owned.reshape(-1), n, cap_k, k)
         # node_shard: this shard's slice of the solid-node table.
         shard_keys = node_shard.keys[: n * cap_k]
         shard_rowvalid = jnp.arange(n * cap_k) < node_shard.size
+
+        # ---- Bloom (skipped in exact mode): insert this shard's slice of
+        # the DISTINCT node table (hash-disjoint across shards, so insert
+        # volume is ~coverage-fold less than per-position adds) and merge
+        # the packed words with a bitwise-OR allreduce ----
+        if add_to_bloom:
+            bf_local = bloom_mod.BloomFilter(bf_bits, bf.log2_bits,
+                                             bf.num_hashes)
+            bf_local = bloom_mod.bloom_add(
+                bf_local, shard_keys, k, mask=shard_rowvalid)
+            bits = or_allreduce(bf_local.bits, n)
+        else:
+            bits = bf_bits
 
         # ---- seeds: global first solid position per read ----
         local_pos = jnp.arange(pk, dtype=jnp.int32)[None, :]

@@ -76,16 +76,19 @@ class AssemblyResult:
     stats: dict
 
 
-@partial(jax.jit, static_argnames=("k", "short_k",
-                                   "num_reads", "add_to_bloom"))
-def _stage1(packed, valid_len, read_id, start, read_len, bf, cov_threshold, *,
-            k, short_k, num_reads, add_to_bloom=True):
+@partial(jax.jit, static_argnames=("k", "short_k", "num_reads"))
+def _stage1(packed, valid_len, read_id, start, read_len, cov_threshold, *,
+            k, short_k, num_reads):
     # cov_threshold is a TRACED scalar: a threshold sweep (sweep.py) or a
     # re-run at a different solidity cutoff reuses the same executable.
     batch_arrays = (packed, valid_len, read_id, start, read_len)
-    result, bf = solid_mod.solid_kmers(
-        batch_arrays, k, short_k, cov_threshold, bf,
-        add_to_bloom=add_to_bloom, need_short_table=False)
+    # The Bloom filter (when wanted at all) is built AFTER stage 1 from
+    # the compacted distinct node set (_bloom_from_nodes): inserting each
+    # read position here would be ~coverage-fold more probe traffic for
+    # the identical membership set (Bloom insert is idempotent).
+    result, _ = solid_mod.solid_kmers(
+        batch_arrays, k, short_k, cov_threshold, None,
+        add_to_bloom=False, need_short_table=False)
     seed_fw, has_seed = solid_mod.first_solid_per_read(
         result, read_id, start, num_reads)
     c, pk, l = result.canon.shape
@@ -95,8 +98,40 @@ def _stage1(packed, valid_len, read_id, start, read_len, bf, cov_threshold, *,
         result.canon.reshape(-1, l),
         result.owned.reshape(-1),
         (result.is_solid & result.owned).reshape(-1), k=k)
-    return (node_table, bf, seed_fw, has_seed, result.short_table,
+    return (node_table, seed_fw, has_seed, result.short_table,
             nid.reshape(c, pk))
+
+
+def _extra_solid_table(seqs, config):
+    """K-mer table + seed k-mers of caller-guaranteed-solid sequences
+    (multi-k re-seeding, graph/multik.py): every k-mer of ``seqs`` becomes
+    a node regardless of read coverage.  Returns ``(KmerTable, seed_fw)``.
+    """
+    k = config.k
+    eb = reads_mod.reads_from_strings(seqs, k, config.chunk_len)
+    bases = kmer_mod.unpack_bases(jnp.asarray(eb.packed))
+    fw, valid = kmer_mod.extract_kmers(bases, jnp.asarray(eb.valid_len), k)
+    canon, _ = kmer_mod.canonical(fw, k)
+    pk = fw.shape[1]
+    owned = solid_mod.owned_mask(
+        jnp.asarray(eb.start), jnp.asarray(eb.read_len),
+        eb.stride, pk, k, k) & valid
+    l = canon.shape[-1]
+    tab = count_mod.count_kmers(canon.reshape(-1, l), owned.reshape(-1), k=k)
+    seed = jnp.asarray(kmer_mod.encode_kmers_np(
+        [s[:k] for s in seqs if len(s) >= k]))
+    return tab, seed
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _bloom_from_nodes(nodes, size, bf, *, k):
+    """Insert the valid prefix of the compacted node table into the packed
+    Bloom filter -- the production Bloom build (exactly the distinct solid
+    canonical k-mers, the same set the reference's per-position ``BF::add``
+    accumulates, ``src/MakeBloomFilter.cpp:75-77``)."""
+    rows = nodes.shape[0]
+    return bloom_mod.bloom_add(bf, nodes, k,
+                               mask=jnp.arange(rows) < size)
 
 
 @partial(jax.jit, static_argnames=("k", "use_exact"))
@@ -219,11 +254,17 @@ def _load_stage3(ckpt):
 
 
 def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
-             write_output: bool = True, mesh=None) -> AssemblyResult:
+             write_output: bool = True, mesh=None,
+             extra_solid=None) -> AssemblyResult:
     """Assemble reads -> GFA.
 
     ``source``: path to .fasta/.fastq, a list of sequence strings, or a
     prepared ``ReadBatch``.
+
+    ``extra_solid``: optional sequences whose k-mers join the node set
+    unconditionally (and seed reachability) -- the multi-k re-seeding
+    hook (graph/multik.py): prior-round unitigs are retained at the new k
+    without inflating the read volume or the coverage counts.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with axis 'd'; stage 1 then
     runs data-parallel with a hash-prefix-sharded count table and
@@ -236,10 +277,11 @@ def assemble(source, config: AssemblyConfig, log: Optional[PipelineLog] = None,
     ``result.stats['stages']`` barrier-exact.
     """
     with device_trace(config.trace_dir):
-        return _assemble_impl(source, config, log, write_output, mesh)
+        return _assemble_impl(source, config, log, write_output, mesh,
+                              extra_solid)
 
 
-def _assemble_impl(source, config, log, write_output, mesh):
+def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
     log = log or PipelineLog(config.log_path, echo=False)
     t0 = time.time()
     timer = StageTimer(barriers=config.profile_stages)
@@ -303,17 +345,23 @@ def _assemble_impl(source, config, log, write_output, mesh):
                           config.use_exact_membership, config.clip_tips,
                           config.pop_bubbles, config.simplify_rounds,
                           config.tip_max_len,
-                          hashlib_digest(batch.packed)))
+                          hashlib_digest(batch.packed),
+                          hashlib_digest(np.frombuffer(
+                              "\n".join(extra_solid).encode(), np.uint8))
+                          if extra_solid else ""))
+    bloom_pending = need_bloom  # rebuilt from the node set below; the
+    # sharded path builds it during its all-to-all stage instead
+    restored1 = False
     if ckpt is not None and ckpt.has("stage1"):
         d = ckpt.load("stage1")
         table = count_mod.KmerTable(
             jnp.asarray(d["keys"]), jnp.asarray(d["counts"]),
             jnp.asarray(d["size"]))
-        bf = bf._replace(bits=jnp.asarray(d["bloom_bits"]))
         seed_fw = jnp.asarray(d["seed_fw"])
         has_seed = jnp.asarray(d["has_seed"])
         short_table = None
         nid = None
+        restored1 = True  # saved table/seeds already include extra_solid
         log.write("stage1 restored from checkpoint")
     elif mesh is not None:
         from platanus3_tpu.parallel import sharded as sharded_mod
@@ -331,12 +379,21 @@ def _assemble_impl(source, config, log, write_output, mesh):
                 f"increase slack")
         short_table = None
         nid = None
+        bloom_pending = False
     else:
-        table, bf, seed_fw, has_seed, short_table, nid = _stage1(
-            packed, valid_len, read_id, start, read_len, bf,
+        table, seed_fw, has_seed, short_table, nid = _stage1(
+            packed, valid_len, read_id, start, read_len,
             jnp.asarray(config.cov_threshold, jnp.int32),
             k=config.k, short_k=min(config.short_k, config.k),
-            num_reads=batch.num_reads, add_to_bloom=need_bloom)
+            num_reads=batch.num_reads)
+    if extra_solid and not restored1:
+        etab, eseed = _extra_solid_table(extra_solid, config)
+        table = count_mod.merge_tables(table, etab)
+        nid = None  # node ranks shifted; stage 3 re-resolves by sort-join
+        seed_fw = jnp.concatenate([seed_fw, eseed], axis=0)
+        has_seed = jnp.concatenate(
+            [has_seed, jnp.ones((eseed.shape[0],), bool)])
+        log.write(f"extra-solid merge: {len(extra_solid)} seqs")
     num_nodes = int(table.size)
     if ckpt is not None and not ckpt.has("stage1"):
         # Persist only the valid prefix of the table (cap is read-volume
@@ -346,14 +403,13 @@ def _assemble_impl(source, config, log, write_output, mesh):
                   keys=np.asarray(table.keys[:n_keep]),
                   counts=np.asarray(table.counts[:n_keep]),
                   size=np.asarray(table.size),
-                  bloom_bits=np.asarray(bf.bits),
                   seed_fw=np.asarray(seed_fw),
                   has_seed=np.asarray(has_seed))
         log.write("stage1 checkpoint saved")
     log.write(f"counted short kmer; bloom filter loaded; "
               f"solid nodes={num_nodes}")
     log.metric("seed kmer num", int(jnp.sum(has_seed)))
-    timer.mark("stage1_count_solid", sync=(table.counts, bf.bits))
+    timer.mark("stage1_count_solid", sync=(table.counts,))
 
     # ---- compact node table to a power-of-two capacity ----
     cap = max(8, _next_pow2(num_nodes))
@@ -365,6 +421,10 @@ def _assemble_impl(source, config, log, write_output, mesh):
                        dtype=jnp.uint32)
         nodes = jnp.concatenate([table.keys, pad], axis=0)
     size = jnp.asarray(num_nodes, jnp.int32)
+
+    if bloom_pending:
+        bf = _bloom_from_nodes(nodes, size, bf, k=config.k)
+        timer.mark("bloom_build", sync=(bf.bits,))
 
     # ---- stage 2: graph ----
     restored3 = ckpt is not None and ckpt.has("stage3")
@@ -414,7 +474,9 @@ def _assemble_impl(source, config, log, write_output, mesh):
     # ---- graph simplification rounds (tips / bubbles; new vs ref) ----
     if (config.clip_tips or config.pop_bubbles) and not restored3:
         from platanus3_tpu.graph import simplify as simp_mod
-        for rnd in range(max(1, config.simplify_rounds)):
+        rounds = config.simplify_rounds if config.simplify_rounds > 0 \
+            else 100  # 0 = iterate to fixpoint
+        for rnd in range(rounds):
             dbg_np = jax.tree.map(np.asarray, dbg)
             keep, n_drop = simp_mod.decide_drops(
                 dbg_np, np.asarray(cov.node_cov), config)

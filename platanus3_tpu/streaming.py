@@ -233,7 +233,7 @@ def _make_mesh_slice_fns(mesh, *, k, short_k, chunk_len, slice_chunks,
             bf_local = bloom_mod.bloom_add(
                 bf_local, canon_k.reshape(-1, lk), k,
                 mask=solid_owned.reshape(-1))
-            bf_bits = jax.lax.pmax(bf_local.bits, "d")
+            bf_bits = sh.or_allreduce(bf_local.bits, n)
 
         # ---- seeds: first solid owned position per read, global ----
         local_pos = jnp.arange(pk, dtype=jnp.int32)[None, :]
@@ -509,7 +509,9 @@ def assemble_streaming(source, config: AssemblyConfig,
     # coverage refresh is another slice-wise pass over the reads.
     if config.clip_tips or config.pop_bubbles:
         from platanus3_tpu.graph import simplify as simp_mod
-        for rnd in range(max(1, config.simplify_rounds)):
+        rounds = config.simplify_rounds if config.simplify_rounds > 0 \
+            else 100  # 0 = iterate to fixpoint
+        for rnd in range(rounds):
             dbg_np = jax.tree.map(np.asarray, dbg)
             keep, n_drop = simp_mod.decide_drops(
                 dbg_np, np.asarray(cov.node_cov), config)

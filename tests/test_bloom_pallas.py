@@ -1,10 +1,11 @@
-"""Pallas packed-Bloom kernel vs the XLA byte-per-bit reference path.
+"""Pallas packed-Bloom kernel vs the XLA sort+dedup+scatter-add path.
 
-Both paths share the probe math (ops/hashing.py), so for identical
-(log2_bits, num_hashes) the packed kernel's membership answers must be
-IDENTICAL to ops/bloom.py's -- same bits set, FPs included.  Runs in
-interpret mode on CPU; the compiled path is exercised on real TPU by
-the benchmark tooling.
+Both paths share the probe math (ops/hashing.py) AND the packed word
+layout (bit ``p`` -> word ``p >> 5``, bit ``p & 31``), so for identical
+(log2_bits, num_hashes) the Pallas kernel's word array must be
+bit-identical to ops/bloom.py's production build.  Runs in interpret
+mode on CPU; the compiled path is exercised on real TPU by the
+benchmark tooling.
 """
 
 import numpy as np
@@ -36,12 +37,8 @@ def test_packed_matches_bytewise(k, log2_bits, hashes):
     bf = B.make_bloom(1 << log2_bits, hashes)
     bf = B.bloom_add(bf, canon, k, mask=mask)
 
-    # Bit-identical filters.
-    u8 = np.asarray(bf.bits).reshape(-1, 32)
-    packed_ref = (u8.astype(np.uint32)
-                  << np.arange(32, dtype=np.uint32)).sum(axis=1,
-                                                         dtype=np.uint32)
-    assert np.array_equal(packed_ref, np.asarray(words))
+    # Bit-identical filters (both are packed little-endian-bit words).
+    assert np.array_equal(np.asarray(bf.bits), np.asarray(words))
 
     # Identical query answers on members and random probes.
     probes = canon_batch(2000, k)

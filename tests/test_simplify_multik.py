@@ -55,6 +55,48 @@ def test_tip_clipping_removes_spur():
     assert len(s) > 1000
 
 
+def test_tip_cov_ratio_clips_long_weak_spur():
+    """A spur LONGER than the 2k length cutoff survives plain clipping but
+    falls to the relative-coverage rule (tip_cov_ratio): its 2x coverage
+    is dominated by the ~5x through-path at its attach junction."""
+    rng = np.random.default_rng(53)
+    genome = rand_genome(1200, rng)
+    spur_point = 600
+    spur = genome[spur_point - 25 : spur_point] + rand_genome(70, rng)
+    reads = tiled_reads(genome, 200, 40) + [spur, spur]
+
+    len_only = assemble(reads, cfg(k=25, clip_tips=True),
+                        write_output=False)
+    with_cov = assemble(reads, cfg(k=25, clip_tips=True, tip_cov_ratio=2.0),
+                        write_output=False)
+    # 95-base spur > tip_max_len=50: the pure length rule keeps it...
+    assert len_only.num_straights >= 2
+    # ...the coverage rule clips it and the genome re-contracts.
+    assert with_cov.num_straights == 1
+    s = parse(with_cov.gfa_lines)[0][0]
+    assert s in genome or revcomp_str(s) in genome
+
+
+def test_simplify_fixpoint_rounds_zero():
+    """simplify_rounds=0 iterates until no more drops.  Nested tips need
+    more than one round: the stem spur only becomes a (clippable) tip
+    after its two leaf arms are clipped."""
+    rng = np.random.default_rng(59)
+    genome = rand_genome(1200, rng)
+    p = 600
+    stem = genome[p - 25 : p] + rand_genome(20, rng)
+    arm1 = stem[-25:] + rand_genome(20, rng)
+    arm2 = stem[-25:] + rand_genome(20, rng)
+    reads = (tiled_reads(genome, 200, 40)
+             + [stem, stem, arm1, arm1, arm2, arm2])
+    one = assemble(reads, cfg(k=25, clip_tips=True, simplify_rounds=1),
+                   write_output=False)
+    assert one.num_straights == 3       # arms clipped, stem still attached
+    fix = assemble(reads, cfg(k=25, clip_tips=True, simplify_rounds=0),
+                   write_output=False)
+    assert fix.num_straights == 1       # fixpoint clears the stem too
+
+
 def test_bubble_popping_keeps_high_coverage_arm():
     rng = np.random.default_rng(43)
     left = rand_genome(600, rng)
