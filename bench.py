@@ -106,13 +106,40 @@ def main():
             (result.is_solid & result.owned).reshape(-1), k=k)
         return table.size, table.keys
 
+    # count+Bloom variant (VERDICT r2 item 4 -- metric continuity with
+    # round 1 and BASELINE's literal "count+Bloom" wording): the same
+    # stage-1 pass PLUS the packed Bloom filter built from the distinct
+    # solid-node table, exactly as pipeline bloom-mode does.
+    from platanus3_tpu.config import AssemblyConfig
+    from platanus3_tpu.ops import bloom as bloom_mod
+    _cfg = AssemblyConfig(k=k)
+    _bits, _hashes = _cfg.auto_filter_bits(
+        sum(len(r) for r in reads))
+    bf0 = bloom_mod.make_bloom(_bits, _hashes)
+
+    def stage1_bloom(packed, valid_len, read_id, start, read_len_a, bits):
+        result, _ = solid_mod.solid_kmers(
+            (packed, valid_len, read_id, start, read_len_a),
+            k, short_k, cov_threshold, None, add_to_bloom=False,
+            need_short_table=False)
+        l = result.canon.shape[-1]
+        table, _nid = count_mod.count_solid_with_ids(
+            result.canon.reshape(-1, l),
+            result.owned.reshape(-1),
+            (result.is_solid & result.owned).reshape(-1), k=k)
+        bf_in = bloom_mod.BloomFilter(bits, bf0.log2_bits, bf0.num_hashes)
+        rows = jnp.arange(table.keys.shape[0], dtype=jnp.int32)
+        bf_out = bloom_mod.bloom_add(bf_in, table.keys, k,
+                                     mask=rows < table.size)
+        return table.size, bf_out.bits
+
     args = [
         jnp.asarray(batch.packed), jnp.asarray(batch.valid_len),
         jnp.asarray(batch.read_id), jnp.asarray(batch.start),
         jnp.asarray(batch.read_len),
     ]
 
-    def measure(fn):
+    def measure(fn, extra=()):
         f = jax.jit(fn)
 
         def run_chain(n_iters):
@@ -123,7 +150,7 @@ def main():
                 # Serialize: next iteration's valid_len depends on the
                 # previous output (value-preserving min with a huge
                 # dynamic bound).
-                out = f(args[0], vlen, args[2], args[3], args[4])
+                out = f(args[0], vlen, args[2], args[3], args[4], *extra)
                 s = out[0] if out[0].ndim == 0 else out[0].reshape(-1)[0]
                 vlen = jnp.minimum(args[1],
                                    s.astype(jnp.int32) + np.int32(2**30))
@@ -138,6 +165,7 @@ def main():
         return max((t4 - t1) / 3, 1e-9)
 
     dt = measure(stage1)
+    dt_bloom = measure(stage1_bloom, extra=(bf0.bits,))
     # ---- per-stage breakdown (stderr; VERDICT r1 item 5) ----
     t_e = measure(prefix_extract)
     t_c = measure(prefix_count)
@@ -150,12 +178,18 @@ def main():
     c = batch.num_chunks
     kmer_positions = c * (chunk_len - short_k + 1) + c * (chunk_len - k + 1)
     value = kmer_positions / dt
+    value_bloom = kmer_positions / dt_bloom
     baseline = 1.9e5  # reference: canonical-kmer ops/s, 2 CPU cores
     print(json.dumps({
         "metric": "kmers_per_sec_per_chip_count_solid",
         "value": round(value, 1),
         "unit": "canonical kmers/s",
         "vs_baseline": round(value / baseline, 2),
+        # metric continuity (round-1 metric name; BASELINE "count+Bloom"):
+        # same pass + packed Bloom build from the distinct node table
+        "count_bloom_value": round(value_bloom, 1),
+        "count_bloom_vs_baseline": round(value_bloom / baseline, 2),
+        "bloom_over_exact_ratio": round(dt_bloom / dt, 3),
     }))
 
 

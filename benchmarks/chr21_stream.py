@@ -82,7 +82,10 @@ def main():
     wall = time.time() - t0
 
     lens = [len(s) for s in res.straight_seqs if s]
+    mem = jax.local_devices()[0].memory_stats() or {}
     out = {
+        "peak_hbm_gib": round(mem.get("peak_bytes_in_use", 0) / 2**30, 2),
+        "hbm_limit_gib": round(mem.get("bytes_limit", 0) / 2**30, 2),
         "config": "baseline-5-chr21-stream",
         "genome_mb": args.genome_mb, "coverage": args.coverage,
         "read_mbases": round(nbases / 1e6, 1), "sub_rate": args.sub,

@@ -131,5 +131,17 @@ class AssemblyConfig:
         else:
             items = max(1, int(all_bases))
         bits = int(items * (-math.log(self.target_fpr)) / (math.log(2) ** 2))
+        if bits > (1 << 35):
+            # single-chip filter ceiling (ops/bloom.py wide path); the
+            # clamped filter has a higher FPR than target_fpr -- warn
+            # rather than die, exact-membership mode is unaffected.
+            import warnings
+            eff_fpr = math.exp(-(math.log(2) ** 2) * (1 << 35) / items)
+            warnings.warn(
+                f"auto-sized Bloom filter ({bits:.3g} bits) clamped to "
+                f"2^35; effective FPR ~{eff_fpr:.2g} instead of "
+                f"{self.target_fpr:g} -- pass filter_bits or use "
+                f"exact membership", stacklevel=2)
+            bits = 1 << 35
         hashes = max(1, int(math.log(2) * bits / items))
         return bits, min(hashes, 30)

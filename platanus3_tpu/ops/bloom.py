@@ -74,7 +74,12 @@ def make_bloom(min_bits: int, num_hashes: int) -> BloomFilter:
     to a power of two; the reference size is used verbatim as a modulus,
     ``src/bloomfilter.cpp:66`` -- rounding up only lowers the FPR)."""
     lb = log2_ceil(min_bits)
-    assert lb <= 31, "filter larger than 2^31 bits not supported single-chip"
+    # <= 2^31 bits: single-u32 probe positions; (2^31, 2^35]: the wide
+    # (hi, lo) two-lane path below.  2^35 bits = 4 GiB of filter words,
+    # the practical single-chip HBM ceiling.
+    assert lb <= 35, (
+        f"filter of 2^{lb} bits (> 2^35 = 4 GiB) not supported single-chip;"
+        f" pass filter_bits explicitly or shard the filter over a mesh")
     return BloomFilter(
         bits=jnp.zeros(((1 << lb) // 32,), dtype=jnp.uint32),
         log2_bits=lb,
@@ -99,6 +104,8 @@ def bloom_add(bf: BloomFilter, kmers: jnp.ndarray, k: int,
     k-mers / colliding probes are deduplicated by the sort (idempotent
     insert), see module docstring.
     """
+    if bf.log2_bits >= 32:
+        return _bloom_add_wide(bf, kmers, k, mask)
     pos = _positions(bf, kmers, k)
     if mask is not None:
         pos = jnp.where(mask[..., None], pos, _SENTINEL)
@@ -113,12 +120,57 @@ def bloom_add(bf: BloomFilter, kmers: jnp.ndarray, k: int,
     return bf._replace(bits=bf.bits | delta)
 
 
+def _bloom_add_wide(bf: BloomFilter, kmers: jnp.ndarray, k: int,
+                    mask: jnp.ndarray | None, lo_bits: int = 32
+                    ) -> BloomFilter:
+    """Insert path for filters of 2^32..2^35 bits (ADVICE r2: the packed
+    rewrite had capped the envelope at 2^31; this restores and extends
+    the former 2^33-bit reach).
+
+    Positions are (hi, lo) u32 pairs (``probe_positions_wide``); dedup is
+    a two-key sort; the mask sentinel rides the hi lane (real hi
+    < 2^(log2_bits-32) <= 8, so 0xFFFFFFFF is unreachable).  ``lo_bits``
+    is 32 in production; tests shrink it to run this path on a tiny
+    filter.
+    """
+    hi, lo = hashing.probe_positions_wide(kmers, k, bf.num_hashes,
+                                          bf.log2_bits, lo_bits)
+    if mask is not None:
+        hi = jnp.where(mask[..., None], hi, _SENTINEL)
+    hi, lo = jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+    pad = jnp.full((1,), _SENTINEL, jnp.uint32)
+    keep = ((hi != jnp.concatenate([pad, hi[:-1]]))
+            | (lo != jnp.concatenate([pad, lo[:-1]]))) \
+        & (hi != _SENTINEL)
+    # word = full_pos >> 5 = hi * 2^(lo_bits-5) + (lo >> 5); fits int32
+    # for log2_bits <= 35 (word < 2^30); dropped rows use the
+    # out-of-range index 2^30 (word array length <= 2^30).
+    word = (hi * np.uint32(1 << (lo_bits - 5))
+            + (lo >> np.uint32(5))).astype(jnp.int32)
+    word = jnp.where(keep, word, np.int32(1) << 30)
+    bitv = jnp.uint32(1) << (lo & np.uint32(31))
+    delta = jnp.zeros_like(bf.bits).at[word].add(bitv, mode="drop")
+    return bf._replace(bits=bf.bits | delta)
+
+
+def _bloom_query_wide(bf: BloomFilter, kmers: jnp.ndarray, k: int,
+                      lo_bits: int = 32) -> jnp.ndarray:
+    hi, lo = hashing.probe_positions_wide(kmers, k, bf.num_hashes,
+                                          bf.log2_bits, lo_bits)
+    w = (hi * np.uint32(1 << (lo_bits - 5))
+         + (lo >> np.uint32(5))).astype(jnp.int32)
+    probe = (bf.bits[w] >> (lo & np.uint32(31))) & np.uint32(1)
+    return jnp.min(probe, axis=-1) > 0
+
+
 def bloom_query(bf: BloomFilter, kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     """Batch membership query -> ``[...] bool``.
 
     AND over ``num_hashes`` gathered probe bits (``BF::possiblyContains``,
     reference ``src/bloomfilter.cpp:76-86``).
     """
+    if bf.log2_bits >= 32:
+        return _bloom_query_wide(bf, kmers, k)
     pos = _positions(bf, kmers, k)
     w = (pos >> np.uint32(5)).astype(jnp.int32)
     probe = (bf.bits[w] >> (pos & np.uint32(31))) & np.uint32(1)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from platanus3_tpu.constants import num_lanes
 
-__all__ = ["hash_kmers", "double_hash", "probe_positions"]
+__all__ = ["hash_kmers", "double_hash", "probe_positions",
+           "probe_positions_wide"]
 
 _C1 = np.uint32(0xCC9E2D51)
 _C2 = np.uint32(0x1B873593)
@@ -81,3 +82,34 @@ def probe_positions(h1: jnp.ndarray, h2: jnp.ndarray, num_hashes: int,
     pos = h1[..., None] + n * h2[..., None]
     mask = np.uint32((1 << log2_bits) - 1)
     return pos & mask
+
+
+def probe_positions_wide(kmers: jnp.ndarray, k: int, num_hashes: int,
+                         log2_bits: int, lo_bits: int = 32):
+    """Probe positions for filters LARGER than 2^32 bits, as two u32
+    lanes ``(hi, lo)`` with full position ``hi * 2^lo_bits + lo``.
+
+    ``lo_bits`` is 32 in production; tests shrink it to drive this exact
+    code path on a tiny filter.
+
+    The low 32 bits follow the same double-hash sequence as
+    :func:`probe_positions`; the high ``log2_bits - 32`` bits come from a
+    second, independently seeded double-hash pair.  Probes ``n != m`` of
+    one k-mer can never collide: equality would require
+    ``(n - m) * h2 == 0 (mod 2^32)``, impossible for odd ``h2`` --
+    so the num_hashes probes stay distinct, and uniformity of ``h1``/
+    ``h3`` gives a uniform position, which is all the Bloom FPR
+    analysis needs (the reference's ``nthHash`` contract,
+    ``src/bloomfilter.cpp:58-66``, is a probe-sequence recipe, not a
+    value contract).
+    """
+    assert log2_bits >= lo_bits
+    h1, h2 = double_hash(kmers, k)
+    h3 = hash_kmers(kmers, k, seed=0x94D049BB)
+    h4 = hash_kmers(kmers, k, seed=0xBF58476D)
+    n = jnp.arange(num_hashes, dtype=jnp.uint32)
+    lo = (h1[..., None] + n * h2[..., None]) \
+        & np.uint32(((1 << lo_bits) - 1) & 0xFFFFFFFF)
+    hi = (h3[..., None] + n * h4[..., None]) \
+        & np.uint32((1 << (log2_bits - lo_bits)) - 1)
+    return hi, lo

@@ -323,7 +323,19 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
     else:
         bf = bloom_mod.make_bloom(8, 1)  # placeholder, never built/queried
 
-    dev = lambda x: jnp.asarray(x)
+    multiproc = False
+    if mesh is not None:
+        from platanus3_tpu.parallel import sharded as _sh
+        multiproc = _sh._is_multiprocess(mesh)
+    if multiproc:
+        # Multi-controller run: every jit input must be a GLOBAL array.
+        # Each process holds the same host data, so replicate explicitly
+        # (stages 2-4 run replicated over the global mesh -- the v1
+        # "graph stage replicated" design, parallel/sharded.py).
+        from jax.sharding import PartitionSpec as _P
+        dev = lambda x: _sh.to_global(mesh, np.asarray(x), _P())
+    else:
+        dev = lambda x: jnp.asarray(x)
     packed = dev(batch.packed)
     valid_len = dev(batch.valid_len)
     read_id = dev(batch.read_id)
@@ -344,7 +356,9 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
                           # checkpointed too):
                           config.use_exact_membership, config.clip_tips,
                           config.pop_bubbles, config.simplify_rounds,
-                          config.tip_max_len,
+                          config.tip_max_len, config.tip_cov_ratio,
+                          config.bubble_len_ratio,
+                          config.bloom_expand_rounds,
                           hashlib_digest(batch.packed),
                           hashlib_digest(np.frombuffer(
                               "\n".join(extra_solid).encode(), np.uint8))
@@ -417,10 +431,9 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
     if cap <= rows:
         nodes = table.keys[:cap]
     else:  # restored checkpoint stores only the valid prefix
-        pad = jnp.full((cap - rows, lanes), np.uint32(0xFFFFFFFF),
-                       dtype=jnp.uint32)
+        pad = dev(np.full((cap - rows, lanes), np.uint32(0xFFFFFFFF)))
         nodes = jnp.concatenate([table.keys, pad], axis=0)
-    size = jnp.asarray(num_nodes, jnp.int32)
+    size = dev(np.asarray(num_nodes, np.int32))
 
     if bloom_pending:
         bf = _bloom_from_nodes(nodes, size, bf, k=config.k)
@@ -454,7 +467,7 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
     timer.mark("stage2_graph", sync=dbg)
 
     # ---- stage 3: coverage + reachability ----
-    nid_dummy = jnp.zeros((1, 1), jnp.int32)
+    nid_dummy = dev(np.zeros((1, 1), np.int32))
 
     def run_stage3(dbg, nid):
         return _stage3(
@@ -487,15 +500,15 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
             cap2 = max(8, _next_pow2(n_keep))
             pad = np.full((cap2 - n_keep, kept_keys.shape[1]),
                           np.uint32(0xFFFFFFFF))
-            nodes = jnp.asarray(np.concatenate([kept_keys, pad]))
-            size = jnp.asarray(n_keep, jnp.int32)
+            nodes = dev(np.concatenate([kept_keys, pad]))
+            size = dev(np.asarray(n_keep, np.int32))
             # Rebuild with EXACT membership: after deletion the Bloom
             # filter no longer describes the k-mer set.
             dbg = _stage2(nodes, size, bf, k=config.k, use_exact=True)
             if nid is not None:
                 # Kept rows keep their lexicographic order, so the old
                 # node ids remap by rank among the keep mask.
-                remap = jnp.asarray(
+                remap = dev(
                     np.where(keep, np.cumsum(keep) - 1, -1).astype(np.int32))
                 nid = jnp.where(nid >= 0, remap[jnp.clip(nid, 0, None)], -1)
             cov, reach_jun, reach_uni, chars = run_stage3(dbg, nid)

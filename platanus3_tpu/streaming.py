@@ -225,8 +225,13 @@ def _make_mesh_slice_fns(mesh, *, k, short_k, chunk_len, slice_chunks,
             routed_k.recv_kmers, routed_k.recv_flags == 2, k=k)
         ntbl = count_mod.KmerTable(nkeys, ncounts, nsize[0])
         nmerged = count_mod.merge_into(ntbl, batch_nodes, node_shard_cap)
-        over = routed_k.overflow + jnp.maximum(
-            nmerged.size - node_shard_cap, 0)
+        # Latch overflow from ALL pass-2 routes: the short-count lookup
+        # route above sends every valid position (a strict superset of
+        # what pass 1 routed), so its buckets can overflow even when
+        # pass 1 did not -- dropped queries would come back as count 0
+        # and silently understate window-min coverage.
+        over = (routed.overflow + routed_k.overflow
+                + jnp.maximum(nmerged.size - node_shard_cap, 0))
 
         if add_to_bloom:
             bf_local = bloom_mod.BloomFilter(bf_bits, bf_log2, bf_hashes)
@@ -409,8 +414,9 @@ def assemble_streaming(source, config: AssemblyConfig,
                              min_pos, seed_fw, bf_bits, cov_thr, ovf)
         if int(jax.device_get(ovf)):
             raise RuntimeError(
-                f"sharded node-table overflow ({int(jax.device_get(ovf))}"
-                f" rows); re-run with larger node_cap / slack")
+                f"sharded pass-2 overflow ({int(jax.device_get(ovf))} rows;"
+                f" node-table merge, solid-kmer route, or short-count "
+                f"lookup route); re-run with larger node_cap / slack")
         bf = bf._replace(bits=bf_bits)
 
         # Merge shard tables into one replicated lex-sorted node table.

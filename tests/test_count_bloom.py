@@ -189,6 +189,48 @@ def test_bloom_mask_drops_and_merge():
     assert bool(jnp.all(B.bloom_query(merged, enc, k)))
 
 
+def test_bloom_wide_path_no_false_negatives_and_mask():
+    """The >2^31-bit (hi, lo) two-lane filter path (ADVICE r2 item 3),
+    driven at tiny scale via lo_bits=16: identical code, 2^20-bit array."""
+    import jax
+    k = 25
+    strs = [random_seq(k) for _ in range(500)]
+    enc = jnp.asarray(K.encode_kmers_np(strs))
+    canon, _ = K.canonical(enc, k)
+    # log2_bits=20 with lo_bits=16 -> hi has 4 bits, exercising the
+    # two-lane sort-dedup + word packing exactly as a 2^36-ish filter
+    # with lo_bits=32 would.
+    bf = B.BloomFilter(bits=jnp.zeros(((1 << 20) // 32,), jnp.uint32),
+                       log2_bits=20, num_hashes=6)
+    mask = jnp.asarray(np.arange(500) < 400)
+    bf = B._bloom_add_wide(bf, canon, k, mask, lo_bits=16)
+    q = np.asarray(B._bloom_query_wide(bf, canon, k, lo_bits=16))
+    assert q[:400].all()          # no false negatives
+    assert q[400:].sum() <= 3     # masked-out k-mers absent (mod FP)
+
+    # idempotence: re-adding the same set changes nothing
+    bf2 = B._bloom_add_wide(bf, canon, k, mask, lo_bits=16)
+    assert np.array_equal(np.asarray(bf.bits), np.asarray(bf2.bits))
+
+    # fresh canonical k-mers: FPR tiny at this load factor
+    probe = [canonical_str(random_seq(k)) for _ in range(2000)]
+    probe = [p for p in probe if p not in {canonical_str(s) for s in strs}]
+    pq = B._bloom_query_wide(
+        bf, jnp.asarray(K.encode_kmers_np(probe)), k, lo_bits=16)
+    assert float(jnp.mean(pq.astype(jnp.float32))) < 0.01
+
+    # production dispatch: bloom_add/query route >=2^32 bits through the
+    # wide path (abstract eval only -- a 2^33-bit array is too big for
+    # CI), and make_bloom admits up to 2^35 but no further.
+    big = B.BloomFilter(
+        jax.ShapeDtypeStruct(((1 << 33) // 32,), jnp.uint32), 33, 4)
+    jax.eval_shape(lambda b, kk: B.bloom_add(b, kk, k), big, canon)
+    jax.eval_shape(lambda b, kk: B.bloom_query(b, kk, k), big, canon)
+    import pytest
+    with pytest.raises(AssertionError):
+        B.make_bloom(1 << 36, num_hashes=4)
+
+
 def test_count_solid_with_ids_matches_composition():
     # count_solid_with_ids == count_kmers(contributes) + lookup_id_join
     k = 11

@@ -41,6 +41,57 @@ def _make_fasta(path):
     return reads
 
 
+def _run_two_procs(tmp_path, fasta, extra_args=()):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""   # never touch the TPU tunnel
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+
+    procs = []
+    for pid in range(2):
+        out = str(tmp_path / f"out{pid}.npz")
+        procs.append((out, subprocess.Popen(
+            [sys.executable, WORKER, "--pid", str(pid), "--nprocs", "2",
+             "--port", str(port), "--fasta", fasta, "--out", out,
+             *extra_args],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)))
+    results = []
+    for out, p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, stdout.decode()[-4000:]
+        results.append(dict(np.load(out)))
+    return results
+
+
+def test_two_process_full_pipeline(tmp_path):
+    """FULL pipeline (graph -> coverage -> GFA emission) under 2
+    ``jax.distributed`` processes (VERDICT r2 item 8): GFA equality with
+    a meshless single-process run, and ``gather_to_host0`` exercised
+    (the worker all-gathers per-process GFA digests through it)."""
+    fasta = str(tmp_path / "reads.fasta")
+    reads = _make_fasta(fasta)
+    r0, r1 = _run_two_procs(tmp_path, fasta, extra_args=("--full",))
+
+    assert int(r0["nprocs"]) == 2 and int(r0["ndevices"]) == 8
+    np.testing.assert_array_equal(r0["gfa"], r1["gfa"])
+    np.testing.assert_array_equal(r0["digest"], r1["digest"])
+    # gather_to_host0 carried both processes' digests
+    assert r0["all_digests"].size == 2 * 32
+
+    # equality with a meshless single-process assembly of the same reads
+    from platanus3_tpu.config import AssemblyConfig
+    from platanus3_tpu.pipeline import assemble
+    cfg = AssemblyConfig(k=25, chunk_len=512, log_path=None)
+    base = assemble(reads, cfg, write_output=False)
+    got = bytes(r0["gfa"]).decode().split("\n")
+    assert sorted(got) == sorted(base.gfa_lines)
+    assert int(r0["num_straights"]) == base.num_straights
+    assert int(r0["num_junctions"]) == base.num_junctions
+
+
 def test_two_process_sharded_stage1(tmp_path):
     fasta = str(tmp_path / "reads.fasta")
     reads = _make_fasta(fasta)

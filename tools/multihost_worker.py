@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=25)
     ap.add_argument("--chunk-len", type=int, default=512)
+    ap.add_argument("--full", action="store_true",
+                    help="run the FULL pipeline (graph + coverage + GFA "
+                         "emission) instead of stage 1 only")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +50,38 @@ def main():
     from platanus3_tpu.parallel import sharded
 
     mesh = multihost.global_mesh()
+
+    if args.full:
+        # ---- FULL pipeline under jax.distributed (VERDICT r2 item 8):
+        # sharded stage 1 -> replicated graph/coverage/emission, ending in
+        # actual GFA lines; gather_to_host0 carries each process's line
+        # digest so host 0 verifies cross-process agreement.
+        import hashlib
+        from platanus3_tpu.config import AssemblyConfig
+        from platanus3_tpu.pipeline import assemble
+
+        cfg = AssemblyConfig(k=args.k, chunk_len=args.chunk_len,
+                             log_path=None)
+        res = assemble(args.fasta, cfg, write_output=False, mesh=mesh)
+        blob = "\n".join(sorted(res.gfa_lines)).encode()
+        dig = np.frombuffer(hashlib.sha256(blob).digest(), np.uint8)
+        all_digs = multihost.gather_to_host0(dig)  # [nprocs*32] u8
+        if jax.process_index() == 0:
+            per = all_digs.reshape(jax.process_count(), 32)
+            assert (per == per[0]).all(), \
+                "GFA digests differ across processes"
+        np.savez(args.out,
+                 gfa=np.frombuffer(blob, np.uint8),
+                 digest=dig, all_digests=np.asarray(all_digs),
+                 num_nodes=res.num_nodes,
+                 num_straights=res.num_straights,
+                 num_junctions=res.num_junctions,
+                 nprocs=jax.process_count(),
+                 ndevices=len(jax.devices()))
+        print(f"[worker {args.pid}] full ok: {res.num_nodes} nodes, "
+              f"{res.num_straights} straights, {res.num_junctions} "
+              f"junctions, {len(res.gfa_lines)} GFA lines", flush=True)
+        return
     batch = reads_mod.load_reads(args.fasta, args.k, args.chunk_len)
     arrays = sharded.pad_batch_to_devices(
         (batch.packed, batch.valid_len, batch.read_id, batch.start,
