@@ -42,15 +42,27 @@ p(f"OURS warm: {t_warm:.1f}s  ({nbases/t_warm/1e6:.2f} Mbases/s)")
 
 os.makedirs("/tmp/p3bench/refrun", exist_ok=True)
 fasta = "/tmp/p3bench/refrun/reads.fasta"
-if not os.path.exists(fasta):
-    with open(fasta, "w") as f:
-        for i, s in enumerate(reads):
-            f.write(f">r{i}\n{s}\n")
-t0 = time.time()
-subprocess.run(["/tmp/refbuild/platanus3", "-i", fasta, "-k", str(k),
-                "-m", str(m_bits), "-t", "4"],
-               cwd="/tmp/p3bench/refrun", check=True, capture_output=True, timeout=7200)
-t_ref = time.time() - t0
+ref_gfa = "/tmp/p3bench/refrun/de_bruijn_graph.gfa"
+if os.path.exists(ref_gfa):
+    # Pre-run in the background (tools/gen_golden_inputs.py megabase writes
+    # the byte-identical read set); wall from run.log if recorded.
+    t_ref = float("nan")
+    runlog = "/tmp/p3bench/refrun/run.log"
+    if os.path.exists(runlog):
+        for ln in open(runlog):
+            if "WALL=" in ln:
+                t_ref = float(ln.split("WALL=")[1].rstrip("s\n"))
+else:
+    if not os.path.exists(fasta):
+        with open(fasta, "w") as f:
+            for i, s in enumerate(reads):
+                f.write(f">r{i}\n{s}\n")
+    t0 = time.time()
+    subprocess.run(["/tmp/refbuild/platanus3", "-i", fasta, "-k", str(k),
+                    "-m", str(m_bits), "-t", "4"],
+                   cwd="/tmp/p3bench/refrun", check=True, capture_output=True,
+                   timeout=7200)
+    t_ref = time.time() - t0
 p(f"reference: {t_ref:.1f}s")
 
 def parse(path):

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--k", type=int, default=25)
     ap.add_argument("--no-ref", action="store_true",
                     help="skip the reference-binary comparison run")
+    ap.add_argument("--ref-dir", default="/tmp/p3bench/repeatref",
+                    help="reference run directory; when it already holds a "
+                         "de_bruijn_graph.gfa (e.g. pre-run in the "
+                         "background via tools/gen_golden_inputs.py), the "
+                         "binary is not re-run")
     ap.add_argument("--repeat-len", type=int, default=200)
     ap.add_argument("--n-copies", type=int, default=1500)
     ap.add_argument("--n-snps", type=int, default=400)
@@ -95,24 +100,36 @@ def main():
         os.path.abspath(__file__)))))
     from tests.test_golden_deep import parse_gfa_deep
     from tests.test_golden import _ensure_ref, REF_BIN
-    assert _ensure_ref(), "reference binary unavailable"
 
-    refdir = "/tmp/p3bench/repeatref"
-    os.makedirs(refdir, exist_ok=True)
-    fasta = os.path.join(refdir, "reads.fasta")
-    with open(fasta, "w") as f:
-        for i, s in enumerate(reads):
-            f.write(f">r{i}\n{s}\n")
-    t0 = time.time()
-    subprocess.run(
-        [REF_BIN, "-i", fasta, "-k", str(args.k), "-m", str(m_bits),
-         "-t", "4"],
-        cwd=refdir, check=True, capture_output=True, timeout=14400)
-    t_ref = time.time() - t0
-    p(f"reference: {t_ref:.1f}s  (speedup cold {t_ref/t_cold:.1f}x / "
-      f"warm {t_ref/t_warm:.1f}x)")
+    refdir = args.ref_dir
+    ref_gfa = os.path.join(refdir, "de_bruijn_graph.gfa")
+    if os.path.exists(ref_gfa):
+        # Pre-run reference (tools/gen_golden_inputs.py wrote the identical
+        # read set; the binary ran in the background).  Wall from run.log.
+        t_ref = None
+        runlog = os.path.join(refdir, "run.log")
+        if os.path.exists(runlog):
+            for ln in open(runlog):
+                if "WALL=" in ln:
+                    t_ref = float(ln.split("WALL=")[1].rstrip("s\n"))
+    else:
+        assert _ensure_ref(), "reference binary unavailable"
+        os.makedirs(refdir, exist_ok=True)
+        fasta = os.path.join(refdir, "reads.fasta")
+        with open(fasta, "w") as f:
+            for i, s in enumerate(reads):
+                f.write(f">r{i}\n{s}\n")
+        t0 = time.time()
+        subprocess.run(
+            [REF_BIN, "-i", fasta, "-k", str(args.k), "-m", str(m_bits),
+             "-t", "4"],
+            cwd=refdir, check=True, capture_output=True, timeout=14400)
+        t_ref = time.time() - t0
+    if t_ref is not None:
+        p(f"reference: {t_ref:.1f}s  (speedup cold {t_ref/t_cold:.1f}x / "
+          f"warm {t_ref/t_warm:.1f}x)")
 
-    with open(os.path.join(refdir, "de_bruijn_graph.gfa")) as f:
+    with open(ref_gfa) as f:
         ref = parse_gfa_deep(f.readlines())
     ours = parse_gfa_deep(res.gfa_lines)
     n_uni = sum(ref[0].values())

@@ -340,59 +340,75 @@ def lookup_id(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(hit, pos_c, -1)
 
 
-def lookup_id_join(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+def lookup_id_join(table: KmerTable, queries: jnp.ndarray,
+                   k: int | None = None) -> jnp.ndarray:
     """Row index of each query in the table (-1 absent), via SORT-JOIN.
 
     TPU-native alternative to the binary search in :func:`lookup_id`: the
     per-round gathers of a 20-round binary search are random-access and
-    slow at tens of millions of queries; one stable multi-key sort of
+    slow at tens of millions of queries; one multi-key sort of
     (table keys ++ queries) followed by segment-first propagation does the
-    same join in a single sort pass.  Within each equal-key segment the
-    table row (unique) sorts FIRST (is_query is the last sort key), so the
-    answer for every query is the id carried by its segment's first row.
+    same join in a single sort pass.
 
-    Also immune to the 0xFF..FF padding-collision edge: table pad rows
-    carry an invalid flag that is part of the sort key, so a query whose
-    bit pattern equals the padding never joins to it.
+    Operand economy (the sort is the whole cost): one PACKED payload rides
+    as the last sort key -- table rows carry their row id (< m), query
+    rows carry ``m + qidx`` -- so within an equal-key segment the table
+    row sorts FIRST and the answer for every query is the payload at the
+    segment start.  When ``k`` is given and lane 0 has a provably spare
+    top bit (``_has_spare_msb``) the table-padding invalid flag folds into
+    it, making the sort exactly ``L + 1`` operands; otherwise the flag is
+    one extra leading key.
+
+    Immune to the 0xFF..FF padding-collision edge either way: pad rows
+    carry the invalid marker inside the key, so a query whose bit pattern
+    equals the padding never joins to it.
     """
     m, l = table.keys.shape
     q = queries.shape[0]
     n = m + q
-    row = jnp.arange(m, dtype=jnp.int32)
-    pad_invalid = (row >= table.size).astype(jnp.uint32)
     keys = jnp.concatenate([table.keys, queries], axis=0)
     invalid = jnp.concatenate(
-        [pad_invalid, jnp.zeros((q,), jnp.uint32)])
-    is_query = jnp.concatenate(
-        [jnp.zeros((m,), jnp.uint32), jnp.ones((q,), jnp.uint32)])
-    ids = jnp.concatenate([row, jnp.full((q,), np.int32(-1))])
-    qidx = jnp.concatenate([jnp.full((m,), np.int32(-1)),
-                            jnp.arange(q, dtype=jnp.int32)])
+        [jnp.arange(m, dtype=jnp.int32) >= table.size,
+         jnp.zeros((q,), bool)])
+    pay = jnp.concatenate(
+        [jnp.arange(m, dtype=jnp.uint32),
+         jnp.arange(q, dtype=jnp.uint32) + np.uint32(m)])
 
-    ops = ([invalid] + [keys[:, j] for j in range(l)] + [is_query, ids, qidx])
-    out = jax.lax.sort(tuple(ops), num_keys=l + 2, is_stable=False)
-    s_inv = out[0]
-    s_lanes = out[1 : l + 1]
-    s_isq, s_ids, s_qidx = out[l + 1], out[l + 2], out[l + 3]
+    if _has_spare_msb(keys, k):
+        lane0 = jnp.where(invalid, keys[:, 0] | _MSB, keys[:, 0])
+        ops = (lane0,) + tuple(keys[:, j] for j in range(1, l)) + (pay,)
+        out = jax.lax.sort(ops, num_keys=l + 1, is_stable=False)
+        key_cols = out[:l]
+        s_pay = out[l]
+    else:
+        ops = ((invalid.astype(jnp.uint32),)
+               + tuple(keys[:, j] for j in range(l)) + (pay,))
+        out = jax.lax.sort(ops, num_keys=l + 2, is_stable=False)
+        key_cols = out[: l + 1]
+        s_pay = out[l + 1]
 
-    diff = s_inv[1:] != s_inv[:-1]
-    for j in range(l):
-        diff = diff | (s_lanes[j][1:] != s_lanes[j][:-1])
+    diff = key_cols[0][1:] != key_cols[0][:-1]
+    for col in key_cols[1:]:
+        diff = diff | (col[1:] != col[:-1])
     is_first = jnp.concatenate([jnp.ones((1,), bool), diff])
     # Index of each row's segment start (monotone cummax trick).
     seg_start = jax.lax.cummax(
         jnp.where(is_first, jnp.arange(n, dtype=jnp.int32), 0))
-    candidate = s_ids[seg_start]          # -1 when segment has no table row
+    candidate = s_pay[seg_start]       # a table row id iff < m
+    is_q = s_pay >= np.uint32(m)
+    qidx = (s_pay - np.uint32(m)).astype(jnp.int32)
+    ans = jnp.where(candidate < np.uint32(m),
+                    candidate.astype(jnp.int32), np.int32(-1))
     out_ids = jnp.full((q,), np.int32(-1))
-    out_ids = out_ids.at[jnp.where(s_isq > 0, s_qidx, q)].set(
-        candidate, mode="drop")
+    out_ids = out_ids.at[jnp.where(is_q, qidx, q)].set(ans, mode="drop")
     return out_ids
 
 
-def lookup_join(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+def lookup_join(table: KmerTable, queries: jnp.ndarray,
+                k: int | None = None) -> jnp.ndarray:
     """Counts for each query (0 when absent), via sort-join (see
     :func:`lookup_id_join`)."""
-    ids = lookup_id_join(table, queries)
+    ids = lookup_id_join(table, queries, k=k)
     idc = jnp.clip(ids, 0, table.keys.shape[0] - 1)
     return jnp.where(ids >= 0, table.counts[idc], 0)
 

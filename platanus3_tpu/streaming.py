@@ -44,8 +44,8 @@ from platanus3_tpu.ops import count as count_mod
 from platanus3_tpu.ops import kmer as kmer_mod
 from platanus3_tpu.ops import solid as solid_mod
 from platanus3_tpu.ops.windowmin import window_min
-from platanus3_tpu.pipeline import (AssemblyResult, _next_pow2, _stage2,
-                                    _stage3)
+from platanus3_tpu.pipeline import (AssemblyResult, _graph_cap, _next_pow2,
+                                    _stage2, _stage3)
 from platanus3_tpu.utils.logging import PipelineLog
 
 __all__ = ["assemble_streaming"]
@@ -472,14 +472,21 @@ def assemble_streaming(source, config: AssemblyConfig,
         log.write(f"[streaming] pass2 done: {num_nodes} solid nodes")
 
     # ---- graph (genome-sized, single shot) ----
-    cap = max(8, _next_pow2(num_nodes))
+    cap = _graph_cap(num_nodes)
     rows = node_table.keys.shape[0]
     if cap <= rows:
-        nodes = node_table.keys[:cap]
+        nodes = jax.block_until_ready(node_table.keys[:cap])
     else:
         nodes = jnp.concatenate([
             node_table.keys,
             jnp.full((cap - rows, l_k), np.uint32(0xFFFFFFFF))], axis=0)
+    # Release the read-volume-sized accumulators before the graph stage --
+    # the short table + node table caps are HBM the neighbor joins need.
+    del node_table
+    if mesh is None:
+        del short_table
+    else:
+        del skeys, scounts, nkeys, ncounts
     dbg = _stage2(nodes, jnp.asarray(num_nodes, jnp.int32), bf, k=k,
                   use_exact=config.use_exact_membership)
     log.write("[streaming] graph built")
@@ -525,7 +532,7 @@ def assemble_streaming(source, config: AssemblyConfig,
                 break
             kept_keys = np.asarray(dbg_np.nodes)[keep]
             n_keep = kept_keys.shape[0]
-            cap2 = max(8, _next_pow2(n_keep))
+            cap2 = _graph_cap(n_keep)
             padk = np.full((cap2 - n_keep, kept_keys.shape[1]),
                            np.uint32(0xFFFFFFFF))
             nodes = jnp.asarray(np.concatenate([kept_keys, padk]))

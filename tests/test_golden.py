@@ -46,14 +46,14 @@ needs_ref = pytest.mark.skipif(not _ensure_ref(),
                                reason="reference binary unavailable")
 
 
-def run_reference(reads, k, m_bits, tmpdir):
+def run_reference(reads, k, m_bits, tmpdir, timeout=300):
     fasta = os.path.join(tmpdir, "reads.fasta")
     with open(fasta, "w") as f:
         for i, s in enumerate(reads):
             f.write(f">r{i}\n{s}\n")
     subprocess.run(
         [REF_BIN, "-i", fasta, "-k", str(k), "-m", str(m_bits), "-t", "4"],
-        cwd=tmpdir, check=True, capture_output=True, timeout=300)
+        cwd=tmpdir, check=True, capture_output=True, timeout=timeout)
     return parse_gfa(os.path.join(tmpdir, "de_bruijn_graph.gfa"))
 
 

@@ -10,6 +10,7 @@ including a golden equality run against the reference binary at k=501
 (a k the reference's whitelist actually supports).
 """
 
+import os
 from collections import Counter
 
 import numpy as np
@@ -64,6 +65,48 @@ def test_golden_k501_matches_reference(tmp_path):
     m = 1 << 22
     ref_s, ref_j, ref_l = run_reference(reads, 501, m, str(tmp_path))
     our_s, our_j, our_l = run_ours(reads, 501, m)
+    assert our_s == ref_s
+    assert our_j == ref_j
+    assert our_l == ref_l
+
+
+def test_assemble_k3001_end_to_end():
+    """Closes the k envelope at the reference's template maximum
+    (``src/Assemble.cpp:49``, bitset<6002>): 188 uint32 sort-key lanes.
+    Small input -- the cost is the one-time XLA compile of the 188-lane
+    sorts (persistent compile cache keeps re-runs fast)."""
+    k = 3001
+    genome = rand_genome(3 * k + 1200, RNG)
+    reads = tiled_reads(genome, 2 * k + 200, (k + 100) // 3)
+    cfg = AssemblyConfig(k=k, filter_bits=1 << 22, log_path=None)
+    res = assemble(reads, cfg, write_output=False)
+    assert res.num_straights == 1
+    assert res.num_junctions == 2
+    s = res.straight_seqs[0]
+    assert canonical_str(s) in (canonical_str(genome[i:i + len(s)])
+                                for i in range(len(genome) - len(s) + 1))
+    assert len(s) > len(genome) - 2 * k
+
+
+@needs_ref
+def test_golden_k2001_matches_reference(tmp_path):
+    """Golden equality at k=2001 (reference whitelist,
+    ``src/Assemble.cpp:48``).  Input generation must stay in lockstep with
+    tools/gen_golden_inputs.py ``largek`` so a pre-run reference GFA
+    (/tmp/p3bench/largekref, run in the background at benchmark time) can
+    be reused; otherwise the binary runs here (~10 min on 2 cores)."""
+    from platanus3_tpu import sim
+    genome = sim.random_genome(60_000, seed=4242)
+    reads = tiled_reads(genome, 6000, 300)
+    m = 1 << 22
+    cached = "/tmp/p3bench/largekref/de_bruijn_graph.gfa"
+    if os.path.exists(cached):
+        from tests.test_golden import parse_gfa
+        ref_s, ref_j, ref_l = parse_gfa(cached)
+    else:
+        ref_s, ref_j, ref_l = run_reference(reads, 2001, m, str(tmp_path),
+                                            timeout=3600)
+    our_s, our_j, our_l = run_ours(reads, 2001, m)
     assert our_s == ref_s
     assert our_j == ref_j
     assert our_l == ref_l

@@ -17,13 +17,26 @@ production stage achieves -- the "is it actually fast" number the
 round-2 verdict asked for.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def _chain_time(f, args, iters=4):
+def _fetch_barrier(out):
+    """Completion barrier that transfers O(1) bytes: device-side slice of
+    one element per leaf, then host fetch of that tiny array.  Fetching
+    the full leaves (np.asarray(leaf)) moves hundreds of MB through the
+    tunnel and its latency noise swamps the differenced compute time."""
+    for leaf in out:
+        tiny = leaf.reshape(-1)[0:1]
+        np.asarray(tiny)
+
+
+def _chain_time(f, args, iters=8):
     """Serialized-execution timing (bench.py methodology): feed output
     back into input, difference 1-iter vs n-iter chains."""
     import jax
@@ -38,14 +51,13 @@ def _chain_time(f, args, iters=4):
             # serialize on first output element, value-preserving
             s = out[0].reshape(-1)[0].astype(jnp.uint32) & np.uint32(0)
             x = args[0] | s
-        for leaf in out:
-            np.asarray(leaf).reshape(-1)[:1]
+        _fetch_barrier(out)
         return time.time() - t0
 
     run_chain(1)
     run_chain(1)
-    t1 = min(run_chain(1) for _ in range(2))
-    tn = min(run_chain(iters) for _ in range(2))
+    t1 = min(run_chain(1) for _ in range(3))
+    tn = min(run_chain(iters) for _ in range(3))
     return max((tn - t1) / (iters - 1), 1e-9)
 
 
@@ -141,8 +153,7 @@ def main():
             out = f(a[0], vlen, a[2], a[3], a[4])
             s = out[0].reshape(-1)[0]
             vlen = jnp.minimum(a[1], s.astype(jnp.int32) + np.int32(2**30))
-        for leaf in out:
-            np.asarray(leaf).reshape(-1)[:1]
+        _fetch_barrier(out)
         return time.time() - t0
 
     run_chain(1); run_chain(1)
