@@ -61,8 +61,11 @@ def main():
     chunk_len = 1024
 
     # ~10M bases of synthetic 20x reads over a 500 kb genome.
+    # P3_BENCH_GENOME shrinks the problem for CPU smoke runs of this
+    # script; the driver metric always uses the 500 kb default.
     rng = np.random.default_rng(0)
-    genome = "".join(rng.choice(list("ACGT"), size=500_000))
+    glen = int(os.environ.get("P3_BENCH_GENOME", "500000"))
+    genome = "".join(rng.choice(list("ACGT"), size=glen))
     read_len, coverage = 2000, 20
     n_reads = len(genome) * coverage // read_len
     reads = []
@@ -109,29 +112,24 @@ def main():
     # count+Bloom variant (VERDICT r2 item 4 -- metric continuity with
     # round 1 and BASELINE's literal "count+Bloom" wording): the same
     # stage-1 pass PLUS the packed Bloom filter built from the distinct
-    # solid-node table, exactly as pipeline bloom-mode does.
+    # solid-node table, exactly as pipeline bloom-mode does -- i.e. on the
+    # COMPACTED table (pipeline._bloom_from_nodes runs after the host
+    # compaction to ~num_nodes rows; inserting from the read-volume-sized
+    # stage-1 table would sort ~20x more masked-out probe rows than the
+    # production path ever does).
     from platanus3_tpu.config import AssemblyConfig
     from platanus3_tpu.ops import bloom as bloom_mod
+    from platanus3_tpu.pipeline import _graph_cap
     _cfg = AssemblyConfig(k=k)
     _bits, _hashes = _cfg.auto_filter_bits(
         sum(len(r) for r in reads))
     bf0 = bloom_mod.make_bloom(_bits, _hashes)
 
-    def stage1_bloom(packed, valid_len, read_id, start, read_len_a, bits):
-        result, _ = solid_mod.solid_kmers(
-            (packed, valid_len, read_id, start, read_len_a),
-            k, short_k, cov_threshold, None, add_to_bloom=False,
-            need_short_table=False)
-        l = result.canon.shape[-1]
-        table, _nid = count_mod.count_solid_with_ids(
-            result.canon.reshape(-1, l),
-            result.owned.reshape(-1),
-            (result.is_solid & result.owned).reshape(-1), k=k)
+    def bloom_build(nodes_c, size, bits):
         bf_in = bloom_mod.BloomFilter(bits, bf0.log2_bits, bf0.num_hashes)
-        rows = jnp.arange(table.keys.shape[0], dtype=jnp.int32)
-        bf_out = bloom_mod.bloom_add(bf_in, table.keys, k,
-                                     mask=rows < table.size)
-        return table.size, bf_out.bits
+        rows = jnp.arange(nodes_c.shape[0], dtype=jnp.int32)
+        bf_out = bloom_mod.bloom_add(bf_in, nodes_c, k, mask=rows < size)
+        return size, bf_out.bits
 
     args = [
         jnp.asarray(batch.packed), jnp.asarray(batch.valid_len),
@@ -165,7 +163,35 @@ def main():
         return max((t4 - t1) / 3, 1e-9)
 
     dt = measure(stage1)
-    dt_bloom = measure(stage1_bloom, extra=(bf0.bits,))
+
+    # Bloom-build leg, production path: host-compact the node table
+    # (pipeline.py does this between stage 1 and the Bloom build), then
+    # chain-time bloom_add alone; the bits output feeding the next call's
+    # input serializes the chain naturally.
+    f1 = jax.jit(stage1)
+    _sz, _keys = f1(*args)
+    num_nodes = int(_sz)
+    capn = _graph_cap(num_nodes)
+    nodes_c = jnp.asarray(np.asarray(_keys)[:capn])
+    size_a = jnp.asarray(num_nodes, jnp.int32)
+    fb = jax.jit(bloom_build)
+
+    def run_chain_bloom(n):
+        bits = bf0.bits
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = fb(nodes_c, size_a, bits)
+            bits = out[1]
+        np.asarray(out[1].reshape(-1)[0:1])
+        return time.time() - t0
+
+    run_chain_bloom(1)
+    run_chain_bloom(1)
+    tb1 = min(run_chain_bloom(1) for _ in range(2))
+    tb4 = min(run_chain_bloom(4) for _ in range(2))
+    dt_bf = max((tb4 - tb1) / 3, 1e-9)
+    dt_bloom = dt + dt_bf
     # ---- per-stage breakdown (stderr; VERDICT r1 item 5) ----
     t_e = measure(prefix_extract)
     t_c = measure(prefix_count)
