@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--interpret", action="store_true")
     args = ap.parse_args()
 
+    from platanus3_tpu.utils.backend import ensure_backend
+    ensure_backend()
     import jax
     import jax.numpy as jnp
     from platanus3_tpu.ops import count as C
