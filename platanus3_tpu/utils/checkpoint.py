@@ -53,6 +53,14 @@ class Checkpointer:
             p + ".tmp.npz",
             **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(p + ".tmp.npz", p)
+        # Fault-injection hook (SURVEY.md §5 failure recovery): kill the
+        # PROCESS -- not an exception a caller could catch -- right after
+        # this stage's checkpoint lands, so tests can prove a real crash
+        # mid-pipeline resumes to identical output.  Saves are atomic
+        # (write-then-rename above), so dying here never leaves a torn
+        # file.
+        if os.environ.get("P3_FAULT_AFTER") == stage:
+            os._exit(137)
 
     def load(self, stage: str):
         p = self._path(stage)

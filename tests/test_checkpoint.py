@@ -1,5 +1,9 @@
 """Checkpoint/resume tests (new capability; reference recomputes always)."""
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 
 from platanus3_tpu.config import AssemblyConfig
@@ -58,3 +62,60 @@ def test_stage23_checkpoint_skips_graph_build(tmp_path, monkeypatch):
     monkeypatch.setattr(pipeline_mod, "_stage2", boom)  # graph must not run
     r3 = assemble(reads, cfg, write_output=False)
     assert r1.gfa_lines == r3.gfa_lines
+
+
+_FAULT_WORKER = """
+import os, sys
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from platanus3_tpu.config import AssemblyConfig
+from platanus3_tpu.constants import BASES
+from platanus3_tpu.pipeline import assemble
+rng = np.random.default_rng(53)
+genome = "".join(rng.choice(list(BASES), size=1500))
+reads = [genome[s:s + 200] for s in range(0, 1301, 40)]
+cfg = AssemblyConfig(k=25, chunk_len=256, log_path=None,
+                     checkpoint_dir=sys.argv[1])
+res = assemble(reads, cfg, write_output=False)
+sys.stdout.write("\\n".join(res.gfa_lines))
+"""
+
+
+def test_fault_injection_crash_resume(tmp_path):
+    """REAL failure recovery (SURVEY.md §5): the worker process is KILLED
+    (os._exit inside the checkpoint hook, exit code 137) right after the
+    stage-1 and then the stage-2 checkpoint lands; each restart must
+    resume from the surviving checkpoints and the final output must be
+    byte-identical to a never-crashed run."""
+    env = dict(os.environ)
+    env.pop("P3_FAULT_AFTER", None)
+
+    def run(fault=None):
+        e = dict(env)
+        if fault:
+            e["P3_FAULT_AFTER"] = fault
+        return subprocess.run(
+            [sys.executable, "-c", _FAULT_WORKER, str(tmp_path)],
+            capture_output=True, text=True, env=e, timeout=900)
+
+    r = run(fault="stage1")
+    assert r.returncode == 137, r.stderr[-2000:]
+    assert (set(p.name for d in tmp_path.iterdir() if d.is_dir()
+                for p in d.iterdir()) >= {"stage1.npz"})
+
+    r = run(fault="stage2")          # resumes stage 1, dies after stage 2
+    assert r.returncode == 137, r.stderr[-2000:]
+
+    r = run()                        # resumes to completion
+    assert r.returncode == 0, r.stderr[-2000:]
+    crashed_then_resumed = r.stdout
+
+    # Oracle: identical run with NO crash, fresh checkpoint dir.
+    import shutil
+    for d in tmp_path.iterdir():
+        shutil.rmtree(d)
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert crashed_then_resumed == r2.stdout
