@@ -179,30 +179,6 @@ def _neighbor_info(nodes, size, k, bf, use_exact):
     return lp, lid, lfw, rp, rid, rfw
 
 
-def _pointer_double(nxt, rounds):
-    """tail/dist via pointer doubling: after convergence ``tail[s]`` is the
-    self-loop reached from ``s`` and ``dist[s]`` the number of steps."""
-    idx = jnp.arange(nxt.shape[0], dtype=jnp.int32)
-    dist = (nxt != idx).astype(jnp.int32)
-
-    def body(_, carry):
-        tail, dist = carry
-        return tail[tail], dist + dist[tail]
-
-    tail, dist = jax.lax.fori_loop(0, rounds, body, (nxt, dist))
-    return tail, dist
-
-
-def _min_double(nxt, value, rounds):
-    """min of ``value`` over all states reachable from each state."""
-    def body(_, carry):
-        ptr, val = carry
-        return ptr[ptr], jnp.minimum(val, val[ptr])
-
-    _, val = jax.lax.fori_loop(0, rounds, body, (nxt, value))
-    return val
-
-
 def phantom_neighbors(dbg: DBG, k: int):
     """Canonical k-mers of Bloom-positive neighbors ABSENT from the node
     table: ``([M*8, L] uint32, [M*8] bool mask)``.
@@ -295,24 +271,57 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     nxt = jnp.where(chain_state, nxt, states)
 
     # ---- cycle detection & breaking -------------------------------------
-    tail0, _ = _pointer_double(nxt, rounds)
+    # One fused doubling loop over the PRE-break map yields tail0 AND the
+    # min reachable state id.  The min rides UNMASKED (every state id, not
+    # just cyclic ones): at a cyclic state the reachable set is exactly
+    # its cycle, so the value equals the old masked cyc_min wherever it is
+    # read (cyc_head and the break test gate on ``cyclic`` first); at
+    # acyclic states it is never consumed.
+    def _body0(_, c):
+        ptr, minv = c
+        return ptr[ptr], jnp.minimum(minv, minv[ptr])
+
+    tail0, cyc_min = jax.lax.fori_loop(0, rounds, _body0, (nxt, states))
     cyclic = (nxt[tail0] != tail0) & chain_state
-    cyc_min = _min_double(
-        nxt, jnp.where(cyclic, states, np.int32(2**30)), rounds)
     cyc_head = cyclic & (cyc_min == states)
     # Break each cycle just before its (min-state) head.
     nxt_orig = nxt
     nxt = jnp.where(cyclic & (nxt == cyc_min), states, nxt)
 
     # ---- chains ----------------------------------------------------------
-    tail, d2t = _pointer_double(nxt, rounds)
+    # Second fused loop on the broken (acyclic) map: tail + distance +
+    # min member state + min FLIPPED member state share one ptr-doubling
+    # chain (4 gathers/round instead of 8 across separate loops), and the
+    # loop exits as soon as every pointer is a fixpoint -- ~log2(longest
+    # chain) rounds, not log2(2M) (a repeat-rich graph's chains are
+    # hundreds of nodes while M is millions).
+    flip = states ^ 1
+    big = np.int32(2**30)
+
+    def _cond1(c):
+        return (c[0] < rounds) & ~c[5]
+
+    def _body1(c):
+        i, ptr, dist, m1, m2, _ = c
+        p2 = ptr[ptr]
+        dist = dist + dist[ptr]
+        m1 = jnp.minimum(m1, m1[ptr])
+        m2 = jnp.minimum(m2, m2[ptr])
+        return (i + 1, p2, dist, m1, m2, jnp.all(p2 == ptr))
+
+    _, tail, d2t, minall, fmin, _ = jax.lax.while_loop(
+        _cond1, _body1,
+        (jnp.zeros((), jnp.int32), nxt,
+         (nxt != states).astype(jnp.int32),
+         jnp.where(chain_state, states, big),
+         jnp.where(chain_state, flip, big),
+         jnp.zeros((), bool)))
 
     # prev state: s has a predecessor iff its flip has a successor in the
     # PRE-break map (nxt_orig[flip]==flip means flip is a tail -> s is a
     # head).  Using the broken map here would also make the flip of a
     # mirror cycle's break-tail look like a head mid-cycle.  Cycle heads
     # are heads by construction.
-    flip = states ^ 1
     has_prev = chain_state & (nxt_orig[flip] != flip) & ~cyc_head
     is_head = chain_state & ~has_prev
 
@@ -322,10 +331,6 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     # mirror pairs; EQUAL exactly when the chain is its own mirror (a
     # palindromic unitig whose spelled sequence equals its reverse
     # complement, e.g. ACG->CGC->GCG->CGT) -- '<=' keeps it once.
-    minall = _min_double(nxt, jnp.where(chain_state, states, np.int32(2**30)),
-                         rounds)
-    fmin = _min_double(nxt, jnp.where(chain_state, flip, np.int32(2**30)),
-                       rounds)
     keep = is_head & (minall <= fmin)
 
     n_nodes = d2t + 1  # chain length in nodes, per head

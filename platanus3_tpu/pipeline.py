@@ -49,13 +49,17 @@ __all__ = ["assemble", "AssemblyResult"]
 
 # Persistent compilation cache: shape-dependent XLA compiles at genome
 # scale run minutes; cache them across processes.  Harmless no-op if the
-# backend doesn't support serialization.
+# backend doesn't support serialization.  Keyed by a host-CPU
+# fingerprint: a cached XLA:CPU executable loaded on a host with
+# different CPU features segfaults (utils/hostid.py).
 try:  # pragma: no cover
     import os as _os
     if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update("jax_compilation_cache_dir",
-                          _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                          "/root/.cache/jax_p3"))
+        from platanus3_tpu.utils.hostid import cpu_cache_tag
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            f"/root/.cache/jax_p3_{cpu_cache_tag()}"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:

@@ -23,6 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 # programs dominate suite wall-clock (~60 s/compile set); with the cache
 # warm a full run is minutes faster.  Threshold is aggressive (0.5 s)
 # because these are many medium-sized compiles, not a few huge ones.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_p3_tests")
+# The directory is keyed by a host-CPU fingerprint: XLA:CPU executables
+# AOT-target the compiling host's exact feature set, and loading one on
+# a different machine SEGFAULTS (utils/hostid.py) -- this container
+# image migrates between hosts across rounds.
+from platanus3_tpu.utils.hostid import cpu_cache_tag
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/root/.cache/jax_p3_tests_{cpu_cache_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
