@@ -106,9 +106,9 @@ def bloom_add(bf: BloomFilter, kmers: jnp.ndarray, k: int,
     """
     if bf.log2_bits >= 32:
         return _bloom_add_wide(bf, kmers, k, mask)
-    pos = _positions(bf, kmers, k)
+    pos = _positions(bf, kmers, k)          # [H, ...] probe-major
     if mask is not None:
-        pos = jnp.where(mask[..., None], pos, _SENTINEL)
+        pos = jnp.where(mask[None], pos, _SENTINEL)
     pos = jnp.sort(pos.reshape(-1))
     prev = jnp.concatenate([jnp.full((1,), _SENTINEL, jnp.uint32), pos[:-1]])
     keep = (pos != prev) & (pos != _SENTINEL)
@@ -136,7 +136,7 @@ def _bloom_add_wide(bf: BloomFilter, kmers: jnp.ndarray, k: int,
     hi, lo = hashing.probe_positions_wide(kmers, k, bf.num_hashes,
                                           bf.log2_bits, lo_bits)
     if mask is not None:
-        hi = jnp.where(mask[..., None], hi, _SENTINEL)
+        hi = jnp.where(mask[None], hi, _SENTINEL)
     hi, lo = jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
     pad = jnp.full((1,), _SENTINEL, jnp.uint32)
     keep = ((hi != jnp.concatenate([pad, hi[:-1]]))
@@ -160,7 +160,7 @@ def _bloom_query_wide(bf: BloomFilter, kmers: jnp.ndarray, k: int,
     w = (hi * np.uint32(1 << (lo_bits - 5))
          + (lo >> np.uint32(5))).astype(jnp.int32)
     probe = (bf.bits[w] >> (lo & np.uint32(31))) & np.uint32(1)
-    return jnp.min(probe, axis=-1) > 0
+    return jnp.min(probe, axis=0) > 0
 
 
 def bloom_query(bf: BloomFilter, kmers: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -171,10 +171,10 @@ def bloom_query(bf: BloomFilter, kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     """
     if bf.log2_bits >= 32:
         return _bloom_query_wide(bf, kmers, k)
-    pos = _positions(bf, kmers, k)
+    pos = _positions(bf, kmers, k)          # [H, ...] probe-major
     w = (pos >> np.uint32(5)).astype(jnp.int32)
     probe = (bf.bits[w] >> (pos & np.uint32(31))) & np.uint32(1)
-    return jnp.min(probe, axis=-1) > 0
+    return jnp.min(probe, axis=0) > 0
 
 
 def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:

@@ -112,8 +112,8 @@ def build_packed_bloom(kmers: jnp.ndarray, k: int, mask: jnp.ndarray,
 
     h1, h2 = hashing.double_hash(kmers, k)
     pos = hashing.probe_positions(h1, h2, num_hashes, log2_bits)
-    pos = pos.astype(jnp.int32)
-    pos = jnp.where(mask[..., None], pos, sentinel).reshape(-1)
+    pos = pos.astype(jnp.int32)                 # [H, ...] probe-major
+    pos = jnp.where(mask[None], pos, sentinel).reshape(-1)
     pos = jnp.sort(pos)
     p = pos.shape[0]
 
@@ -169,7 +169,7 @@ def query_packed(words: jnp.ndarray, kmers: jnp.ndarray, k: int,
     w = (pos >> np.uint32(5)).astype(jnp.int32)
     b = pos & np.uint32(31)
     probe = (words[w] >> b) & np.uint32(1)
-    return jnp.min(probe, axis=-1) > 0
+    return jnp.min(probe, axis=0) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -297,10 +297,13 @@ def query_blocked(words: jnp.ndarray, kmers: jnp.ndarray, k: int,
                   log2_bits: int, num_hashes: int) -> jnp.ndarray:
     """Vectorized membership query against a blocked filter."""
     nblk, blk, h1, h2 = _blocked_hashes(kmers, k, log2_bits)
-    n = jnp.arange(num_hashes, dtype=jnp.uint32)
-    p = (h1[..., None] + n * h2[..., None]) & _BB_MASK
-    w = (blk[..., None] * BLOCK_WORDS
+    # probe axis leading (see hashing.probe_positions): a minor axis of
+    # length num_hashes pads ~12x under TPU (8, 128) tiling.
+    n = jnp.arange(num_hashes, dtype=jnp.uint32).reshape(
+        (num_hashes,) + (1,) * h1.ndim)
+    p = (h1[None] + n * h2[None]) & _BB_MASK
+    w = (blk[None] * BLOCK_WORDS
          + (p >> np.uint32(5)).astype(jnp.int32))
     b = p & np.uint32(31)
     probe = (words[w] >> b) & np.uint32(1)
-    return jnp.min(probe, axis=-1) > 0
+    return jnp.min(probe, axis=0) > 0

@@ -72,14 +72,21 @@ def double_hash(kmers: jnp.ndarray, k: int):
 
 def probe_positions(h1: jnp.ndarray, h2: jnp.ndarray, num_hashes: int,
                     log2_bits: int) -> jnp.ndarray:
-    """Bloom probe bit positions ``[..., num_hashes] uint32``.
+    """Bloom probe bit positions ``[num_hashes, ...] uint32``.
 
     ``(h1 + n*h2) mod 2^log2_bits`` -- the reference's ``nthHash``
     (``src/bloomfilter.cpp:58-66``) with a power-of-two modulus so u32
     wraparound is exact.
+
+    The probe axis LEADS: TPU tiling pads the two minor dims to (8, 128),
+    so a minor probe axis of length ~10-20 would inflate the array's HBM
+    footprint ~12x (observed: a [4.2M, 8, 10] u32 probe tensor padded to
+    16 GiB and OOM'd an 80-Mbase bloom-mode run).  Leading, it is a cheap
+    major dimension and the minor dims stay the large query axes.
     """
-    n = jnp.arange(num_hashes, dtype=jnp.uint32)
-    pos = h1[..., None] + n * h2[..., None]
+    n = jnp.arange(num_hashes, dtype=jnp.uint32).reshape(
+        (num_hashes,) + (1,) * h1.ndim)
+    pos = h1[None] + n * h2[None]
     mask = np.uint32((1 << log2_bits) - 1)
     return pos & mask
 
@@ -87,7 +94,8 @@ def probe_positions(h1: jnp.ndarray, h2: jnp.ndarray, num_hashes: int,
 def probe_positions_wide(kmers: jnp.ndarray, k: int, num_hashes: int,
                          log2_bits: int, lo_bits: int = 32):
     """Probe positions for filters LARGER than 2^32 bits, as two u32
-    lanes ``(hi, lo)`` with full position ``hi * 2^lo_bits + lo``.
+    lanes ``(hi, lo)``, each ``[num_hashes, ...]`` (probe axis leading,
+    see :func:`probe_positions`), full position ``hi * 2^lo_bits + lo``.
 
     ``lo_bits`` is 32 in production; tests shrink it to drive this exact
     code path on a tiny filter.
@@ -107,9 +115,10 @@ def probe_positions_wide(kmers: jnp.ndarray, k: int, num_hashes: int,
     h1, h2 = double_hash(kmers, k)
     h3 = hash_kmers(kmers, k, seed=0x94D049BB)
     h4 = hash_kmers(kmers, k, seed=0xBF58476D)
-    n = jnp.arange(num_hashes, dtype=jnp.uint32)
-    lo = (h1[..., None] + n * h2[..., None]) \
+    n = jnp.arange(num_hashes, dtype=jnp.uint32).reshape(
+        (num_hashes,) + (1,) * h1.ndim)
+    lo = (h1[None] + n * h2[None]) \
         & np.uint32(((1 << lo_bits) - 1) & 0xFFFFFFFF)
-    hi = (h3[..., None] + n * h4[..., None]) \
+    hi = (h3[None] + n * h4[None]) \
         & np.uint32((1 << (log2_bits - lo_bits)) - 1)
     return hi, lo
