@@ -158,9 +158,18 @@ def main():
 
         run_chain(1)  # compile + backend warmup
         run_chain(1)  # first-fetch warmup
-        t1 = min(run_chain(1) for _ in range(2))
-        t4 = min(run_chain(4) for _ in range(2))
-        return max((t4 - t1) / 3, 1e-9)
+        # Long chains: the tunnel's per-call latency jitter is hundreds
+        # of ms, so a 3-iteration difference can go NEGATIVE under load;
+        # 15 chained iterations keep the compute signal well above the
+        # noise floor (observed: (t4-t1)/3 once returned 0 ms -> a 2e16
+        # "rate").  Three reps of each, min.
+        iters = int(os.environ.get("P3_BENCH_ITERS", "16"))
+        t1 = min(run_chain(1) for _ in range(3))
+        tn = min(run_chain(iters) for _ in range(3))
+        dt = (tn - t1) / (iters - 1)
+        if dt <= 0:  # still noise-dominated: fall back to the raw chain
+            dt = tn / iters
+        return dt
 
     dt = measure(stage1)
 
@@ -188,9 +197,12 @@ def main():
 
     run_chain_bloom(1)
     run_chain_bloom(1)
-    tb1 = min(run_chain_bloom(1) for _ in range(2))
-    tb4 = min(run_chain_bloom(4) for _ in range(2))
-    dt_bf = max((tb4 - tb1) / 3, 1e-9)
+    _it = int(os.environ.get("P3_BENCH_ITERS", "16"))
+    tb1 = min(run_chain_bloom(1) for _ in range(3))
+    tbn = min(run_chain_bloom(_it) for _ in range(3))
+    dt_bf = (tbn - tb1) / (_it - 1)
+    if dt_bf <= 0:
+        dt_bf = tbn / _it
     dt_bloom = dt + dt_bf
     # ---- per-stage breakdown (stderr; VERDICT r1 item 5) ----
     t_e = measure(prefix_extract)

@@ -32,11 +32,18 @@ Empty-slot convention: occupancy is ``counts > 0`` -- an all-ones key
 pattern is NOT usable as an empty marker because an all-ones canonical
 k-mer exists (e.g. the even-k T..TA..A palindrome).
 
-The result is a hash-ordered exact count table (`OAHashTable`); both
-paths pay one global sort, so wall-clock is similar at k<=32, while the
-open-addressing path carries fewer sort key operands as k grows and its
-output doubles as an O(1)-probe membership structure (see
-benchmarks/counter_compare.py for measured numbers).
+The result is a hash-ordered exact count table (`OAHashTable`).
+
+MEASURED VERDICT (round 3, benchmarks/counter_compare.py on the v5e
+chip, 4M positions / 500k unique): the sort+scan counter wins at every
+lane count -- OA/sort wall ratio 3.50x at k=25, 3.33x at k=63, 2.47x at
+k=127, with table equality in all cases.  Together with the stage-1
+roofline (tools/roofline.py: production stage 1 runs at 0.74-0.84 of a
+sort-ONLY lower bound, and TPU scatter throughput is ~2x below sort row
+throughput), this retires the open-addressing counter as a production
+path: it stays as a validated alternative and Mosaic reference, NOT on
+the hot path.  This is the documented resolution of the round-2 verdict
+item 6 ("wire it if headroom > 2x, else quantify and retire").
 """
 
 from __future__ import annotations
