@@ -54,6 +54,15 @@ def ensure_backend(max_tries: int = 20, retry_sleep: float = 45.0,
     import jax
     try:
         jax.devices()
+        # Registration succeeding is NOT enough: a process that attaches
+        # during the grant window can register fine and then never get a
+        # response to its first dispatch (observed: a sweep sat 25 min
+        # fully idle with all threads in epoll/futex waits after writing
+        # its input arrays to the tunnel).  Probe an actual tiny
+        # round-trip inside the watchdog window.
+        import numpy as _np
+        import jax.numpy as _jnp
+        _np.asarray(_jnp.arange(8) + 1)
     except RuntimeError:
         got.set()
         if tries >= max_tries:
