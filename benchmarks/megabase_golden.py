@@ -42,12 +42,15 @@ res2 = assemble(reads, cfg, write_output=False, log=log2)
 t_warm = time.time() - t0
 p(f"OURS warm: {t_warm:.1f}s  ({nbases/t_warm/1e6:.2f} Mbases/s)")
 
+from platanus3_tpu.utils.goldencache import cached_ref_gfa, write_fingerprint
 os.makedirs("/tmp/p3bench/refrun", exist_ok=True)
 fasta = "/tmp/p3bench/refrun/reads.fasta"
 ref_gfa = "/tmp/p3bench/refrun/de_bruijn_graph.gfa"
-if os.path.exists(ref_gfa):
+if cached_ref_gfa("/tmp/p3bench/refrun", reads, k, m_bits):
     # Pre-run in the background (tools/gen_golden_inputs.py megabase writes
-    # the byte-identical read set); wall from run.log if recorded.
+    # the byte-identical read set + fingerprint); wall from run.log if
+    # recorded.  A GFA whose golden.fp mismatches these reads/k/m is never
+    # trusted (ADVICE r3).
     t_ref = float("nan")
     runlog = "/tmp/p3bench/refrun/run.log"
     if os.path.exists(runlog):
@@ -65,6 +68,7 @@ else:
                    cwd="/tmp/p3bench/refrun", check=True, capture_output=True,
                    timeout=7200)
     t_ref = time.time() - t0
+    write_fingerprint("/tmp/p3bench/refrun", reads, k, m_bits)
 p(f"reference: {t_ref:.1f}s")
 
 def parse(path):

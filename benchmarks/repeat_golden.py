@@ -103,11 +103,15 @@ def main():
     from tests.test_golden_deep import parse_gfa_deep
     from tests.test_golden import _ensure_ref, REF_BIN
 
+    from platanus3_tpu.utils.goldencache import (cached_ref_gfa,
+                                                 write_fingerprint)
     refdir = args.ref_dir
     ref_gfa = os.path.join(refdir, "de_bruijn_graph.gfa")
-    if os.path.exists(ref_gfa):
+    if cached_ref_gfa(refdir, reads, args.k, m_bits):
         # Pre-run reference (tools/gen_golden_inputs.py wrote the identical
-        # read set; the binary ran in the background).  Wall from run.log.
+        # read set + fingerprint; the binary ran in the background).  A
+        # cached GFA whose golden.fp mismatches these reads/k/m is never
+        # trusted (ADVICE r3).  Wall from run.log.
         t_ref = None
         runlog = os.path.join(refdir, "run.log")
         if os.path.exists(runlog):
@@ -127,6 +131,7 @@ def main():
              "-t", "4"],
             cwd=refdir, check=True, capture_output=True, timeout=14400)
         t_ref = time.time() - t0
+        write_fingerprint(refdir, reads, args.k, m_bits)
     if t_ref is not None:
         p(f"reference: {t_ref:.1f}s  (speedup cold {t_ref/t_cold:.1f}x / "
           f"warm {t_ref/t_warm:.1f}x)")

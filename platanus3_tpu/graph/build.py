@@ -348,8 +348,10 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     uid_of_head = jnp.cumsum(real_head.astype(jnp.int32)) - 1
     num_unitigs = jnp.sum(real_head.astype(jnp.int32))
     # head state per unitig slot.  Capacity M suffices: every kept chain
-    # has >= 2 nodes (lone chains are junction-promoted, never real_head)
-    # and chains are node-disjoint, so num_unitigs <= M/2 < M.
+    # has >= 2 STATES (d2t >= 1; a 2-state chain may occupy a single node
+    # when the successor is the node's own reverse complement, e.g.
+    # ACG->CGT) and chains are state-disjoint over the 2M states, so
+    # num_unitigs <= 2M/2 = M.
     head_tgt = jnp.where(real_head, uid_of_head, m)
     unitig_head = jnp.full((m,), _NO_STATE).at[
         head_tgt].set(states, mode="drop")

@@ -225,7 +225,11 @@ def _emit_output(dbg, cov, reach_jun, reach_uni, chars, k):
     num_u = int(dbg.num_unitigs)
     n_jun = int(jnp.sum(dbg.is_junction_final & reach_jun))
     m = dbg.nodes.shape[0]
-    ucap = max(1, _next_pow2(max(num_u, 1)))
+    # Clamp to the node capacity m: _graph_cap can return a non-pow2 m
+    # (>4M nodes), and _next_pow2(num_u) may then exceed m, which would
+    # mismatch dbg.unitig_head[:ucap] (clamps to m rows) against
+    # arange(ucap) inside materialize_sequences (ADVICE r3).
+    ucap = min(max(1, _next_pow2(max(num_u, 1))), m)
     total_chars = int(jnp.sum(dbg.unitig_len[:ucap])) + num_u * (k - 1)
     char_cap = max(8, _next_pow2(total_chars + 1))
     jun_cap = max(1, _next_pow2(max(n_jun, 1)))

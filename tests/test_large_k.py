@@ -96,11 +96,14 @@ def test_golden_k2001_matches_reference(tmp_path):
     (/tmp/p3bench/largekref, run in the background at benchmark time) can
     be reused; otherwise the binary runs here (~10 min on 2 cores)."""
     from platanus3_tpu import sim
+    from platanus3_tpu.utils.goldencache import cached_ref_gfa
     genome = sim.random_genome(60_000, seed=4242)
     reads = tiled_reads(genome, 6000, 300)
     m = 1 << 22
-    cached = "/tmp/p3bench/largekref/de_bruijn_graph.gfa"
-    if os.path.exists(cached):
+    # Only trust the cache when its fingerprint matches these exact
+    # reads/k/m (ADVICE r3: a stale GFA must not corrupt the oracle).
+    cached = cached_ref_gfa("/tmp/p3bench/largekref", reads, 2001, m)
+    if cached:
         from tests.test_golden import parse_gfa
         ref_s, ref_j, ref_l = parse_gfa(cached)
     else:

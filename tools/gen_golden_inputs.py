@@ -65,8 +65,17 @@ def largek_reads(glen=60_000):
     return tiled(genome, 6000, 300)
 
 
+# (k, m_bits) each input kind is golden-compared with; the fingerprint
+# written next to the FASTA binds the cached reference GFA to these
+# exact parameters (ADVICE r3 -- stale caches must never be trusted).
+PARAMS = {"megabase": (25, 1 << 30), "repeat": (25, 1 << 30),
+          "largek": (2001, 1 << 22)}
+
 if __name__ == "__main__":
     which, out = sys.argv[1], sys.argv[2]
     reads = {"megabase": megabase_reads, "repeat": repeat_reads,
              "largek": largek_reads}[which]()
     write_fasta(out, reads)
+    from platanus3_tpu.utils.goldencache import write_fingerprint
+    k, m_bits = PARAMS[which]
+    write_fingerprint(os.path.dirname(os.path.abspath(out)), reads, k, m_bits)
