@@ -159,6 +159,13 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
 
+# Capacity policy thresholds, module-level so tests can shrink them and
+# exercise the chromosome-scale (non-pow2 capacity) branch on small
+# graphs (VERDICT r3 item 2).
+_GRAPH_CAP_POW2_MAX = 1 << 22
+_GRAPH_CAP_STEP = 1 << 20
+
+
 def _graph_cap(n: int) -> int:
     """Node capacity for the graph stage.  Power-of-two below ~4M nodes
     (maximal executable reuse across runs); above that, the next multiple
@@ -166,10 +173,9 @@ def _graph_cap(n: int) -> int:
     per-node graph array (~100+ B/node), which is the difference between
     fitting in HBM and not (VERDICT r2 item 3)."""
     p = max(8, _next_pow2(n))
-    if p <= (1 << 22):
+    if p <= _GRAPH_CAP_POW2_MAX:
         return p
-    step = 1 << 20
-    return min(p, -(-int(n) // step) * step)
+    return min(p, -(-int(n) // _GRAPH_CAP_STEP) * _GRAPH_CAP_STEP)
 
 
 @partial(jax.jit, static_argnames=("k",))

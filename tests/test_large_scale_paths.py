@@ -1,0 +1,155 @@
+"""Chromosome-scale code paths, exercised at test scale (VERDICT r3 item 2).
+
+Two code paths only trigger above multi-million-node graph sizes and had
+never executed before a chr21-scale run depended on them:
+
+* the chunked per-(side, base) neighbor join
+  (``graph/build.py::_neighbor_info``, ``_NEIGHBOR_CHUNK_THRESHOLD``),
+  which replaces the fused 8*M-row sort-join to bound peak HBM;
+* ``pipeline._graph_cap``'s 2^20-step rounding branch, which produces
+  NON-power-of-two node capacities above 4M nodes.
+
+These tests shrink the thresholds (module-level constants, monkeypatched)
+so the same code runs on a repeat-rich test graph, and assert exact
+equality against the small-graph paths -- no code path reachable at
+chromosome scale stays test-virgin.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from platanus3_tpu import pipeline
+from platanus3_tpu import sim
+from platanus3_tpu.config import AssemblyConfig
+from platanus3_tpu.graph import build as build_mod
+from platanus3_tpu.ops import bloom as bloom_mod
+
+
+def _repeat_reads(glen=6000, k=25, seed=31):
+    """Repeat-rich genome: junction tangles + thousands of nodes."""
+    g = sim.random_genome(glen, seed=seed)
+    g = sim.plant_repeats(g, 80, 30, seed=seed + 1)
+    g = sim.plant_repeats(g, 3 * k, 15, seed=seed + 2, min_gap=300)
+    return [g[s:s + 400] for s in range(0, len(g) - 400 + 1, 80)]
+
+
+def _node_table(reads, k):
+    cfg = AssemblyConfig(k=k, log_path=None)
+    tab, _ = pipeline._extra_solid_table(reads, cfg)
+    return tab
+
+
+def test_graph_cap_policy(monkeypatch):
+    # Below the pow2 ceiling: next power of two.
+    assert pipeline._graph_cap(1000) == 1024
+    assert pipeline._graph_cap(1 << 22) == 1 << 22
+    # Above: next multiple of the step (non-pow2 in general), never more
+    # than the pow2.
+    n = 5_300_000
+    cap = pipeline._graph_cap(n)
+    assert cap % (1 << 20) == 0 and cap >= n and cap < pipeline._next_pow2(n)
+    # Shrunken policy mirrors the same shape at test scale.
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_POW2_MAX", 512)
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_STEP", 128)
+    assert pipeline._graph_cap(700) == 768        # non-pow2 multiple of 128
+    assert pipeline._graph_cap(500) == 512        # still within pow2 regime
+    assert pipeline._graph_cap(1000) == 1024      # step rounding never > pow2
+
+
+def test_chunked_neighbor_join_equals_fused(monkeypatch):
+    """The per-(side, base) chunked join (>4M-node path) must produce a
+    DBG identical to the fused 8*M join, leaf for leaf."""
+    k = 25
+    reads = _repeat_reads()
+    tab = _node_table(reads, k)
+    n = int(tab.size)
+    assert n > 2000, f"graph not rich enough ({n} nodes)"
+    cap = pipeline._graph_cap(n)
+    nodes = pipeline._pad_table_keys(tab.keys, n, cap)
+    size = jnp.asarray(n, jnp.int32)
+    bf = bloom_mod.make_bloom(20, 4)
+
+    assert cap <= build_mod._NEIGHBOR_CHUNK_THRESHOLD  # fused by default
+    fused = build_mod.build_graph(nodes, size, k, bf, use_exact=True)
+    monkeypatch.setattr(build_mod, "_NEIGHBOR_CHUNK_THRESHOLD", 64)
+    chunked = build_mod.build_graph(nodes, size, k, bf, use_exact=True)
+
+    for name, a, b in zip(fused._fields, fused, chunked):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"DBG leaf {name!r} differs between fused and "
+                    f"chunked neighbor joins")
+
+
+def test_chunked_join_bloom_membership_equal(monkeypatch):
+    """Same equality under Bloom membership (the mode whose presence bits
+    come from filter probes, not table hits)."""
+    k = 25
+    reads = _repeat_reads(glen=3000, seed=77)
+    tab = _node_table(reads, k)
+    n = int(tab.size)
+    cap = pipeline._graph_cap(n)
+    nodes = pipeline._pad_table_keys(tab.keys, n, cap)
+    size = jnp.asarray(n, jnp.int32)
+    bf = bloom_mod.make_bloom(22, 6)
+    bf = pipeline._bloom_from_nodes(nodes, size, bf, k=k)
+
+    fused = build_mod.build_graph(nodes, size, k, bf, use_exact=False)
+    monkeypatch.setattr(build_mod, "_NEIGHBOR_CHUNK_THRESHOLD", 64)
+    chunked = build_mod.build_graph(nodes, size, k, bf, use_exact=False)
+    for name, a, b in zip(fused._fields, fused, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"DBG leaf {name!r} differs")
+
+
+def test_non_pow2_graph_cap_pipeline_equality(monkeypatch):
+    """Full pipeline with the shrunken capacity policy (non-pow2 caps,
+    the >4M-node regime) must emit byte-identical GFA lines."""
+    reads = _repeat_reads(glen=3000, seed=55)
+    cfg = AssemblyConfig(k=25, filter_bits=1 << 22, log_path=None)
+    base = pipeline.assemble(reads, cfg, write_output=False)
+
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_POW2_MAX", 256)
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_STEP", 192)
+    n = base.num_nodes
+    assert pipeline._graph_cap(n) % 192 == 0  # really in the step regime
+    assert pipeline._graph_cap(n) != pipeline._next_pow2(n)
+    small = pipeline.assemble(reads, cfg, write_output=False)
+    assert small.gfa_lines == base.gfa_lines
+    assert small.num_nodes == base.num_nodes
+
+
+def test_non_pow2_graph_cap_streaming_equality(monkeypatch):
+    """Streaming mode (the chr21 driver) under the non-pow2 capacity
+    policy: GFA equality vs the default-policy single-shot pipeline.
+    ``streaming.assemble_streaming`` shares ``pipeline._graph_cap``."""
+    from platanus3_tpu.streaming import assemble_streaming
+    reads = _repeat_reads(glen=3000, seed=91)
+    cfg = AssemblyConfig(k=25, filter_bits=1 << 22, log_path=None)
+    base = pipeline.assemble(reads, cfg, write_output=False)
+
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_POW2_MAX", 256)
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_STEP", 192)
+    res = assemble_streaming(reads, cfg, write_output=False,
+                             slice_chunks=64)
+    assert res.gfa_lines == base.gfa_lines
+
+
+def test_non_pow2_cap_with_simplify(monkeypatch):
+    """Simplification rebuilds re-enter _graph_cap with shrinking node
+    counts; the non-pow2 policy must not change the final graph."""
+    g = sim.random_genome(4000, seed=5)
+    hap2 = sim.mutate_genome(g, 8, seed=6, min_gap=200)
+    reads = (sim.simulate_reads(g, coverage=12, read_len=300, seed=7,
+                                sub_rate=0.003)
+             + sim.simulate_reads(hap2, coverage=12, read_len=300, seed=8,
+                                  sub_rate=0.003))
+    cfg = AssemblyConfig(k=25, filter_bits=1 << 22, log_path=None,
+                         cov_threshold=3, clip_tips=True, pop_bubbles=True)
+    base = pipeline.assemble(reads, cfg, write_output=False)
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_POW2_MAX", 128)
+    monkeypatch.setattr(pipeline, "_GRAPH_CAP_STEP", 96)
+    small = pipeline.assemble(reads, cfg, write_output=False)
+    assert small.gfa_lines == base.gfa_lines
