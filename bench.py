@@ -173,6 +173,57 @@ def main():
 
     dt = measure(stage1)
 
+    # ---- sort-only roofline bound, SAME session (VERDICT r3 weak #2:
+    # the headline rate varies with chip/tunnel weather across driver
+    # captures; the fraction-of-bound is the session-invariant number, so
+    # measure the bound here with the identical chained methodology
+    # rather than in a separate tools/roofline.py run).  The bound = the
+    # two MAIN counting sorts at their EXACT production call (ops/count.py
+    # _scan_count: sort_kmers with the invalid flag folded into lane 0's
+    # spare MSB, one packed u32 index payload, non-stable) -- the
+    # irreducible "you must order the positions" work.  Back-sorts, scans,
+    # window-min etc. are implementation overhead the fraction charges
+    # against stage 1.
+    c_total = batch.num_chunks
+    n_short_rows = c_total * (chunk_len - short_k + 1)
+    n_k_rows = c_total * (chunk_len - k + 1)
+
+    def sort_bound_time(n_rows, kk):
+        lanes = (2 * kk + 31) // 32
+        top_bits = 2 * kk - 32 * (lanes - 1)
+        rngb = np.random.default_rng(1)
+        keys = rngb.integers(0, 2**32, (n_rows, lanes), dtype=np.uint32)
+        if 0 < top_bits < 32:
+            keys[:, 0] &= (1 << top_bits) - 1  # production lane-0 budget
+        keys_d = jnp.asarray(keys)
+        inv = jnp.zeros((n_rows,), bool)
+        pay = jnp.asarray(np.arange(n_rows, dtype=np.uint32))
+
+        fs = jax.jit(lambda kd: count_mod.sort_kmers(
+            kd, inv, pay, k=kk, stable=False))
+
+        def run_chain(n):
+            x = keys_d
+            t0 = time.time()
+            out = None
+            for _ in range(n):
+                out = fs(x)
+                # serialize, value-preserving (OR with 0)
+                x = keys_d | (out[0].reshape(-1)[0] & np.uint32(0))
+            np.asarray(out[0].reshape(-1)[0:1])
+            return time.time() - t0
+
+        run_chain(1)
+        run_chain(1)
+        iters = int(os.environ.get("P3_BENCH_ITERS", "16"))
+        t1 = min(run_chain(1) for _ in range(3))
+        tn = min(run_chain(iters) for _ in range(3))
+        dts = (tn - t1) / (iters - 1)
+        return dts if dts > 0 else tn / iters
+
+    t_bound = (sort_bound_time(n_short_rows, short_k)
+               + sort_bound_time(n_k_rows, k))
+
     # Bloom-build leg, production path: host-compact the node table
     # (pipeline.py does this between stage 1 and the Bloom build), then
     # chain-time bloom_add alone; the bits output feeding the next call's
@@ -217,6 +268,7 @@ def main():
     kmer_positions = c * (chunk_len - short_k + 1) + c * (chunk_len - k + 1)
     value = kmer_positions / dt
     value_bloom = kmer_positions / dt_bloom
+    sort_bound_value = kmer_positions / t_bound
     baseline = 1.9e5  # reference: canonical-kmer ops/s, 2 CPU cores
     print(json.dumps({
         "metric": "kmers_per_sec_per_chip_count_solid",
@@ -228,6 +280,12 @@ def main():
         "count_bloom_value": round(value_bloom, 1),
         "count_bloom_vs_baseline": round(value_bloom / baseline, 2),
         "bloom_over_exact_ratio": round(dt_bloom / dt, 3),
+        # Self-normalization (VERDICT r3 item 5): the sort-only lower
+        # bound measured in THIS session with the identical chain
+        # methodology, and the fraction of it stage 1 achieves --
+        # comparable across rounds regardless of tunnel weather.
+        "sort_bound_value": round(sort_bound_value, 1),
+        "fraction_of_sort_bound": round(value / sort_bound_value, 3),
     }))
 
 

@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--repeat-len", type=int, default=200)
     ap.add_argument("--n-copies", type=int, default=1500)
     ap.add_argument("--n-snps", type=int, default=400)
+    ap.add_argument("--realistic", action="store_true",
+                    help="base genome via sim.realistic_genome (GC skew + "
+                         "homopolymers + tandem tracts) instead of "
+                         "uniform-random; pair with --ref-dir "
+                         "/tmp/p3bench/realref (tools/gen_golden_inputs.py "
+                         "'realistic')")
     args = ap.parse_args()
 
     from platanus3_tpu.utils.backend import ensure_backend
@@ -55,7 +61,8 @@ def main():
 
     # ---- genome: planted repeats + SNP haplotype ----
     t0 = time.time()
-    base = sim.random_genome(args.glen, seed=1234)
+    base = (sim.realistic_genome(args.glen, seed=1234) if args.realistic
+            else sim.random_genome(args.glen, seed=1234))
     base = sim.plant_repeats(base, args.repeat_len, args.n_copies, seed=7)
     # second repeat family at a different length for junction diversity
     base = sim.plant_repeats(base, 3 * args.k, args.n_copies // 2, seed=8,

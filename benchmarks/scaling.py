@@ -69,16 +69,28 @@ def main():
             (batch.packed, batch.valid_len, batch.read_id, batch.start,
              batch.read_len), n)
 
-        def run():
+        def run(ablate=False):
             t0 = time.time()
             table, _, seed, has, ovf = sharded.sharded_stage1(
                 mesh, *arrays, bf, k=k, short_k=short_k, cov_threshold=2,
-                num_reads=batch.num_reads, add_to_bloom=False)
+                num_reads=batch.num_reads, add_to_bloom=False,
+                ablate_collectives=ablate)
             _ = int(table.size) + int(ovf)  # completion barrier
             return time.time() - t0
 
         run()                      # compile
         dt = min(run() for _ in range(2))
+        # Collective share (VERDICT r3 item 8): re-run with every
+        # collective identity-routed (same per-device compute, zero
+        # communication) and difference the walls.  A statement about the
+        # PROGRAM's communication fraction that stands in for the
+        # unmeasurable pod-hardware gate; results of the ablated run are
+        # discarded (they are numerically wrong by construction).
+        coll_pct = None
+        if n > 1:
+            run(ablate=True)       # compile
+            dt_abl = min(run(ablate=True) for _ in range(2))
+            coll_pct = max(0.0, round(100 * (dt - dt_abl) / dt, 1))
         rate = batch.all_bases / dt
         if base_rate is None:
             base_rate = rate
@@ -87,6 +99,7 @@ def main():
             "bases_per_s": round(rate),
             "seconds": round(dt, 3),
             "efficiency_vs_1dev": round(rate / (base_rate * n), 3),
+            "collective_pct": coll_pct,
         }), flush=True)
 
     if args.multiproc:

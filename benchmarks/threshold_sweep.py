@@ -41,6 +41,10 @@ def main():
                     help="assemble with the Bloom membership pre-filter "
                          "instead of exact membership")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--realistic", action="store_true",
+                    help="GC-skewed genome with homopolymers, tandem "
+                         "tracts, and dispersed repeats "
+                         "(sim.realistic_genome) instead of uniform-random")
     args = ap.parse_args()
 
     from platanus3_tpu.utils.backend import ensure_backend
@@ -51,7 +55,8 @@ def main():
 
     glen = int(args.genome_mb * 1e6)
     t0 = time.time()
-    genome = sim.random_genome(glen, seed=args.seed)
+    genome = (sim.realistic_genome(glen, seed=args.seed) if args.realistic
+              else sim.random_genome(glen, seed=args.seed))
     reads = sim.simulate_reads(
         genome, coverage=args.coverage, read_len=args.read_len,
         seed=args.seed + 1, sub_rate=args.sub, ins_rate=args.ins,
@@ -92,6 +97,7 @@ def main():
     best = max(rows, key=lambda r: r["f1"])
     print(json.dumps({
         "config": "baseline-2-threshold-sweep",
+        "genome": "realistic" if args.realistic else "uniform",
         "genome_mb": args.genome_mb, "coverage": args.coverage,
         "error_rates": [args.sub, args.ins, args.dele],
         "k": args.k, "membership": "bloom" if args.bloom else "exact",

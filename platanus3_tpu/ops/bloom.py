@@ -104,9 +104,16 @@ def bloom_add(bf: BloomFilter, kmers: jnp.ndarray, k: int,
     k-mers / colliding probes are deduplicated by the sort (idempotent
     insert), see module docstring.
     """
+    # Flatten batch dims: probe arrays must be [H, N], not [H, ..., b]
+    # -- a trailing batch dim of e.g. 8 (the [M, 8, L] neighbor query)
+    # gets TPU-tile-padded to 128 lanes, a 16x HBM blowup that OOMs at
+    # chromosome scale (same class as the r3 probe-axis fix).
+    kmers = kmers.reshape(-1, kmers.shape[-1])
+    if mask is not None:
+        mask = mask.reshape(-1)
     if bf.log2_bits >= 32:
         return _bloom_add_wide(bf, kmers, k, mask)
-    pos = _positions(bf, kmers, k)          # [H, ...] probe-major
+    pos = _positions(bf, kmers, k)          # [H, N] probe-major
     if mask is not None:
         pos = jnp.where(mask[None], pos, _SENTINEL)
     pos = jnp.sort(pos.reshape(-1))
@@ -169,12 +176,15 @@ def bloom_query(bf: BloomFilter, kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     AND over ``num_hashes`` gathered probe bits (``BF::possiblyContains``,
     reference ``src/bloomfilter.cpp:76-86``).
     """
+    batch_shape = kmers.shape[:-1]
+    kmers = kmers.reshape(-1, kmers.shape[-1])  # [H, N] probes -- trailing
+    # batch dims would be tile-padded (see bloom_add)
     if bf.log2_bits >= 32:
-        return _bloom_query_wide(bf, kmers, k)
-    pos = _positions(bf, kmers, k)          # [H, ...] probe-major
+        return _bloom_query_wide(bf, kmers, k).reshape(batch_shape)
+    pos = _positions(bf, kmers, k)          # [H, N] probe-major
     w = (pos >> np.uint32(5)).astype(jnp.int32)
     probe = (bf.bits[w] >> (pos & np.uint32(31))) & np.uint32(1)
-    return jnp.min(probe, axis=0) > 0
+    return (jnp.min(probe, axis=0) > 0).reshape(batch_shape)
 
 
 def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:

@@ -107,35 +107,46 @@ class Routed(NamedTuple):
     overflow: jnp.ndarray      # scalar: rows dropped (bucket cap exceeded)
     n: int
     cap: int
+    ablate: bool = False
 
 
-def _a2a(x, n):
+def _a2a(x, n, ablate: bool = False):
+    if ablate:  # identity-routed: every shard keeps its own buckets
+        return x
     return jax.lax.all_to_all(
         x.reshape((n, x.shape[0] // n) + x.shape[1:]),
         axis_name="d", split_axis=0, concat_axis=0,
     ).reshape(x.shape)
 
 
-def or_allreduce(x, n, axis_name: str = "d"):
+def or_allreduce(x, n, axis_name: str = "d", ablate: bool = False):
     """Bitwise-OR allreduce of a 1-D integer array inside ``shard_map``.
 
     No native OR collective exists, and ``psum``/``pmax`` are wrong for
     packed bitmask words, so: reduce_scatter (one ``all_to_all`` of
     equal segments, OR of the n received copies of this shard's segment)
     + ``all_gather`` -- 2x the bytes of an ideal allreduce, all riding
-    ICI.  Used to merge packed Bloom filters (ops/bloom.py)."""
+    ICI.  Used to merge packed Bloom filters (ops/bloom.py).
+
+    ``ablate=True`` replaces the exchange with its local-compute shape
+    (benchmarks/scaling.py measures the collective share by differencing
+    full vs ablated walls; results are NOT correct in that mode)."""
     m = x.shape[0]
     pad = (-m) % n
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
     seg = x.reshape(n, -1)
-    recv = jax.lax.all_to_all(seg, axis_name, split_axis=0, concat_axis=0)
+    recv = seg if ablate else jax.lax.all_to_all(
+        seg, axis_name, split_axis=0, concat_axis=0)
     local = jax.lax.reduce(recv, x.dtype.type(0), jax.lax.bitwise_or, (0,))
+    if ablate:
+        return jnp.broadcast_to(local, (n,) + local.shape).reshape(-1)[:m]
     out = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
     return out[:m] if pad else out
 
 
-def route_to_owners(canon, valid, contrib, n: int, cap: int, k: int) -> Routed:
+def route_to_owners(canon, valid, contrib, n: int, cap: int, k: int,
+                    ablate: bool = False) -> Routed:
     """Sort [N, L] canonical k-mers by hash owner ``h1 % n`` and exchange
     fixed-capacity buckets with one ``all_to_all``.  Invalid rows are never
     sent; rows beyond a bucket's capacity are counted in ``overflow``."""
@@ -167,24 +178,25 @@ def route_to_owners(canon, valid, contrib, n: int, cap: int, k: int) -> Routed:
     send_flags = jnp.zeros((n * cap,), jnp.int32)
     send_flags = send_flags.at[slot].set(1 + s_contrib, mode="drop")
 
-    recv_kmers = _a2a(send_kmers, n)
-    recv_flags = _a2a(send_flags, n)
+    recv_kmers = _a2a(send_kmers, n, ablate)
+    recv_flags = _a2a(send_flags, n, ablate)
     return Routed(recv_kmers=recv_kmers, recv_flags=recv_flags, slot=slot,
                   sendable=sendable, s_idx=s_idx, overflow=overflow,
-                  n=n, cap=cap)
+                  n=n, cap=cap, ablate=ablate)
 
 
 def route_values_back(routed: Routed, r_values, nl: int):
     """Inverse all-to-all: per-owned-row int32 values -> per original
     input position (0 for unsent rows)."""
     n, cap = routed.n, routed.cap
-    back = _a2a(r_values, n)
+    back = _a2a(r_values, n, routed.ablate)
     per_sorted = jnp.where(routed.sendable,
                            back[jnp.clip(routed.slot, 0, n * cap - 1)], 0)
     return jnp.zeros((nl,), jnp.int32).at[routed.s_idx].set(per_sorted)
 
 
-def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
+def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int,
+                     ablate: bool = False):
     """All-to-all exchange of [N, L] canonical k-mers to hash owners;
     returns (per_position_counts [N], owner_table, overflow_count).
 
@@ -192,7 +204,7 @@ def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
     count table.
     """
     nl, l = canon.shape
-    routed = route_to_owners(canon, valid, contrib, n, cap, k)
+    routed = route_to_owners(canon, valid, contrib, n, cap, k, ablate)
     r_valid = routed.recv_flags > 0
     r_contrib = routed.recv_flags == 2
     table, r_counts = count_mod.count_with_positions(
@@ -204,7 +216,8 @@ def _route_and_count(canon, valid, contrib, n: int, cap: int, k: int):
 def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
                    bf: bloom_mod.BloomFilter, *, k: int, short_k: int,
                    cov_threshold: int, num_reads: int, slack: float = 1.5,
-                   add_to_bloom: bool = True):
+                   add_to_bloom: bool = True,
+                   ablate_collectives: bool = False):
     """Distributed stage 1 (count + solidity + Bloom + node set + seeds).
 
     Inputs are GLOBAL (host) arrays; chunk count must divide the mesh size
@@ -212,7 +225,15 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
     ``(node_keys [cap_g, L], node_valid [cap_g], bloom, seed_fw, has_seed,
     overflow)`` with the node set REPLICATED, counts/Bloom built via
     all-to-all + allreduce-OR as described in the module docstring.
-    """
+
+    ``ablate_collectives=True`` replaces every collective (all-to-all
+    routes, OR-allreduce, seed pmin/pmax, overflow psum) with its
+    identity-routed local shape: same per-device compute and buffer
+    traffic, zero inter-device communication.  Results are WRONG in that
+    mode; its only use is differencing full vs ablated wall-clock to
+    report the program's collective share (benchmarks/scaling.py,
+    VERDICT r3 item 8)."""
+    abl = ablate_collectives
     n = mesh.devices.size
     c = packed.shape[0]
     assert c % n == 0
@@ -236,7 +257,7 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         ls = s_canon.shape[-1]
         per_pos, _, ovf_s = _route_and_count(
             s_canon.reshape(-1, ls), s_valid.reshape(-1),
-            s_owned.reshape(-1), n, cap_s, short_k)
+            s_owned.reshape(-1), n, cap_s, short_k, abl)
         short_counts = per_pos.reshape(cl, p_short)
 
         # ---- solidity ----
@@ -253,7 +274,7 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         lk = canon_k.shape[-1]
         per_k, node_shard, ovf_k = _route_and_count(
             canon_k.reshape(-1, lk), solid_owned.reshape(-1),
-            solid_owned.reshape(-1), n, cap_k, k)
+            solid_owned.reshape(-1), n, cap_k, k, abl)
         # node_shard: this shard's slice of the solid-node table.
         shard_keys = node_shard.keys[: n * cap_k]
         shard_rowvalid = jnp.arange(n * cap_k) < node_shard.size
@@ -267,7 +288,7 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
                                              bf.num_hashes)
             bf_local = bloom_mod.bloom_add(
                 bf_local, shard_keys, k, mask=shard_rowvalid)
-            bits = or_allreduce(bf_local.bits, n)
+            bits = or_allreduce(bf_local.bits, n, ablate=abl)
         else:
             bits = bf_bits
 
@@ -279,17 +300,17 @@ def sharded_stage1(mesh: Mesh, packed, valid_len, read_id, start, read_len,
         flat_rid = jnp.broadcast_to(read_id_l[:, None], (cl, pk)).reshape(-1)
         min_pos_l = jax.ops.segment_min(gpos_m.reshape(-1), flat_rid,
                                         num_segments=num_reads)
-        min_pos = jax.lax.pmin(min_pos_l, "d")
+        min_pos = min_pos_l if abl else jax.lax.pmin(min_pos_l, "d")
         is_first = solid_owned & (gpos == min_pos[read_id_l][:, None])
         seed_l = jnp.zeros((num_reads, lk), dtype=jnp.uint32)
         rid_b = jnp.broadcast_to(read_id_l[:, None], (cl, pk))
         tgt = jnp.where(is_first, rid_b, num_reads)
         seed_l = seed_l.at[tgt.reshape(-1)].max(
             fwk.reshape(-1, lk), mode="drop")
-        seed_fw = jax.lax.pmax(seed_l, "d")
+        seed_fw = seed_l if abl else jax.lax.pmax(seed_l, "d")
         has_seed = min_pos < big
 
-        ovf = jax.lax.psum(ovf_s + ovf_k, "d")
+        ovf = (ovf_s + ovf_k) if abl else jax.lax.psum(ovf_s + ovf_k, "d")
         return (shard_keys, shard_rowvalid, bits, seed_fw, has_seed, ovf)
 
     fn = shard_map(

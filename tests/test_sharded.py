@@ -64,3 +64,27 @@ def test_sharded_two_devices(mesh):
     single = assemble(reads, cfg(), write_output=False)
     multi = assemble(reads, cfg(), write_output=False, mesh=two)
     assert single.gfa_lines == multi.gfa_lines
+
+
+def test_ablated_collectives_compiles_and_runs(mesh):
+    """The collective-ablation mode (benchmarks/scaling.py's collective-%
+    measurement) must compile and execute; its RESULTS are wrong by
+    construction and are not compared -- only shapes and liveness."""
+    from platanus3_tpu.io import reads as reads_mod
+    from platanus3_tpu.ops import bloom as bloom_mod
+    genome = rand_genome(2000)
+    reads = tiled_reads(genome, 200, 40)
+    batch = reads_mod.reads_from_strings(reads, 25, 256)
+    bf = bloom_mod.make_bloom(16, 4)
+    arrays = sharded.pad_batch_to_devices(
+        (batch.packed, batch.valid_len, batch.read_id, batch.start,
+         batch.read_len), 8)
+    full = sharded.sharded_stage1(
+        mesh, *arrays, bf, k=25, short_k=21, cov_threshold=2,
+        num_reads=batch.num_reads, add_to_bloom=True)
+    abl = sharded.sharded_stage1(
+        mesh, *arrays, bf, k=25, short_k=21, cov_threshold=2,
+        num_reads=batch.num_reads, add_to_bloom=True,
+        ablate_collectives=True)
+    assert abl[0].keys.shape == full[0].keys.shape
+    assert int(abl[0].size) >= 1  # ran to completion, produced a table

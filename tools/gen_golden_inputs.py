@@ -65,16 +65,28 @@ def largek_reads(glen=60_000):
     return tiled(genome, 6000, 300)
 
 
+def realistic_reads(glen=2_000_000, k=25, repeat_len=200, n_copies=1500,
+                    n_snps=400):
+    # Must match benchmarks/repeat_golden.py --realistic (default args).
+    from platanus3_tpu import sim
+    base = sim.realistic_genome(glen, seed=1234)
+    base = sim.plant_repeats(base, repeat_len, n_copies, seed=7)
+    base = sim.plant_repeats(base, 3 * k, n_copies // 2, seed=8,
+                             min_gap=5 * repeat_len)
+    hap2 = sim.mutate_genome(base, n_snps, seed=9, min_gap=1000)
+    return tiled(base, 3000, 400) + tiled(hap2, 3000, 600)
+
+
 # (k, m_bits) each input kind is golden-compared with; the fingerprint
 # written next to the FASTA binds the cached reference GFA to these
 # exact parameters (ADVICE r3 -- stale caches must never be trusted).
 PARAMS = {"megabase": (25, 1 << 30), "repeat": (25, 1 << 30),
-          "largek": (2001, 1 << 22)}
+          "largek": (2001, 1 << 22), "realistic": (25, 1 << 30)}
 
 if __name__ == "__main__":
     which, out = sys.argv[1], sys.argv[2]
     reads = {"megabase": megabase_reads, "repeat": repeat_reads,
-             "largek": largek_reads}[which]()
+             "largek": largek_reads, "realistic": realistic_reads}[which]()
     write_fasta(out, reads)
     from platanus3_tpu.utils.goldencache import write_fingerprint
     k, m_bits = PARAMS[which]
