@@ -368,6 +368,19 @@ def assemble_streaming(source, config: AssemblyConfig,
                 cut(batch.start), cut(batch.read_len),
                 cut(batch.prev_base, 4), cut(batch.next_base, 4))
 
+    # XLA:CPU's in-process collectives can DEADLOCK when two executions
+    # of a collective program are in flight at once (async dispatch lets
+    # the slice loop enqueue slice i+1 while slice i still runs; the
+    # shared Eigen pool fills with rendezvous waits from both RunIds and
+    # no thread remains to run the missing participants).  Real TPU
+    # collectives are hardware-sequenced and keep full async pipelining.
+    sync_each_slice = (mesh is not None
+                       and jax.default_backend() == "cpu")
+
+    def _slice_barrier(x):
+        if sync_each_slice:
+            jax.block_until_ready(x)
+
     if mesh is not None:
         # ---- mesh passes 1+2: hash-prefix-sharded accumulators ----
         sscap = -(-short_cap // n_dev)
@@ -389,6 +402,7 @@ def assemble_streaming(source, config: AssemblyConfig,
             packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
             skeys, scounts, ssizes, ovf = count_fn(
                 packed, vlen, start, rlen, skeys, scounts, ssizes, ovf)
+            _slice_barrier(ovf)
         if int(jax.device_get(ovf)):
             raise RuntimeError(
                 f"sharded short-table overflow ({int(jax.device_get(ovf))}"
@@ -412,6 +426,7 @@ def assemble_streaming(source, config: AssemblyConfig,
                              skeys, scounts, ssizes,
                              nkeys, ncounts, nsizes,
                              min_pos, seed_fw, bf_bits, cov_thr, ovf)
+            _slice_barrier(ovf)
         if int(jax.device_get(ovf)):
             raise RuntimeError(
                 f"sharded pass-2 overflow ({int(jax.device_get(ovf))} rows;"
@@ -503,6 +518,7 @@ def assemble_streaming(source, config: AssemblyConfig,
                 node_cov, jun_tally = cov_fn(
                     dbg, packed, vlen, start, rlen, pb, nb, node_cov,
                     jun_tally)
+                _slice_barrier(node_cov)
             return cov_mod.CoverageResult(node_cov=node_cov,
                                           jun_tally=jun_tally)
         node_cov = jnp.zeros((m,), jnp.int32)
