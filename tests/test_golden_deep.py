@@ -55,11 +55,24 @@ def _norm_endpoint(seq, o):
     return c, o
 
 
+def _pin(seq, o):
+    """An RC-PALINDROMIC segment (seq == revcomp(seq): even-length tandem
+    tracts like (ACGT)^n, G^nC^n -- possible for whole unitig sequences
+    even at odd k) reads identically in both orientations, so its GFA
+    sign carries no information; both sides may legally emit either
+    (the reference's sign comes from thread-order-dependent map probes,
+    ``src/DeBruijnGraph.cpp:486-505``; ours is canonical-form based).
+    Normalize to '+'.  First hit by realistic-genome goldens (round 4:
+    5 of 15,980 links differed only in such a sign)."""
+    from platanus3_tpu.sim import revcomp
+    return (seq, "+") if seq == revcomp(seq) else (seq, o)
+
+
 def canon_link(seq_a, o_a, seq_b, o_b):
     a = _norm_endpoint(seq_a, o_a)
     b = _norm_endpoint(seq_b, o_b)
-    fwd = (a[0], a[1], b[0], b[1])
-    dual = (b[0], _flip(b[1]), a[0], _flip(a[1]))
+    fwd = _pin(*a) + _pin(*b)
+    dual = _pin(b[0], _flip(b[1])) + _pin(a[0], _flip(a[1]))
     return min(fwd, dual)
 
 

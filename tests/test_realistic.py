@@ -15,6 +15,8 @@ import pytest
 
 from platanus3_tpu import sim
 from tests.test_golden import needs_ref, run_reference, run_ours, tiled_reads
+from tests.test_golden_deep import parse_gfa_deep, run_reference_deep, \
+    run_ours_deep
 
 
 def test_gc_skewed_composition():
@@ -69,6 +71,28 @@ def test_realistic_genome_matches_reference(tmp_path):
     assert our_s == ref_s
     assert our_j == ref_j
     assert our_l == ref_l
+
+
+@needs_ref
+def test_palindromic_tract_links_match_reference(tmp_path):
+    """RC-palindromic unitig sequences ((ACGT)^n tracts, G^n C^n runs)
+    make the GFA sign of a link endpoint meaningless -- the sequence
+    reads the same both ways.  Both sides must agree on the full DEEP
+    contract (S, junction KC, canonicalized L multisets) under the
+    palindromic-sign normalization (test_golden_deep._pin; found by the
+    round-4 realistic 2 Mb golden: 5/15,980 links differed only in such
+    a sign)."""
+    rng = np.random.default_rng(41)
+    u = lambda n: "".join(rng.choice(list("ACGT"), size=n))
+    genome = (u(600) + "TACG" * 12 + u(600) + "G" * 22 + "C" * 22
+              + u(600) + "CCCTAGGGTA" * 5 + u(600))
+    reads = tiled_reads(genome, 300, 40)
+    m = 1 << 22
+    ref = run_reference_deep(reads, 25, m, str(tmp_path))
+    ours = run_ours_deep(reads, 25, m)
+    assert ours[0] == ref[0]
+    assert ours[1] == ref[1]
+    assert ours[2] == ref[2]
 
 
 @needs_ref
