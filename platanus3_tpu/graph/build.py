@@ -48,9 +48,54 @@ from platanus3_tpu.ops import bloom as bloom_mod
 from platanus3_tpu.ops import count as count_mod
 from platanus3_tpu.ops import kmer as kmer_mod
 
-__all__ = ["DBG", "build_graph", "phantom_neighbors"]
+__all__ = ["DBG", "build_graph", "phantom_neighbors", "chunked_gather",
+           "chunked_scatter_set", "chunked_scatter_max"]
 
 _NO_STATE = np.int32(-1)
+
+# libtpu (v5e, 2026-08 toolchain) faults the TPU worker ("kernel fault")
+# on a gather INSIDE a fori/while loop once the gathered row count
+# reaches ~90M (94.4M reproducibly crashes; 67M crashed once then
+# passed -- flaky; 33.5M never failed).  Chunking the INDICES (operand
+# untouched) avoids it, so every gather/scatter over state-scale arrays
+# goes through the helpers below, with the chunk well inside the safe
+# region.  Found by the chr21 run (47.2M nodes -> 94.4M states),
+# minimal repro:
+#   jax.lax.fori_loop(0, 28, lambda _, p: p[p], nxt)  # n = 94_371_840
+_GATHER_CHUNK = 1 << 25
+
+
+def chunked_gather(a, idx):
+    """``a[idx]`` with indices split into <=2^26-row chunks (see above)."""
+    n = idx.shape[0]
+    if n <= _GATHER_CHUNK:
+        return a[idx]
+    return jnp.concatenate([a[idx[o:o + _GATHER_CHUNK]]
+                            for o in range(0, n, _GATHER_CHUNK)])
+
+
+def chunked_scatter_set(dst, idx, values):
+    """``dst.at[idx].set(values, mode='drop')`` in chunked index ranges.
+    ``values`` may be scalar or an array matching ``idx``."""
+    n = idx.shape[0]
+    if n <= _GATHER_CHUNK:
+        return dst.at[idx].set(values, mode="drop")
+    scalar = jnp.ndim(values) == 0
+    for o in range(0, n, _GATHER_CHUNK):
+        v = values if scalar else values[o:o + _GATHER_CHUNK]
+        dst = dst.at[idx[o:o + _GATHER_CHUNK]].set(v, mode="drop")
+    return dst
+
+
+def chunked_scatter_max(dst, idx, values):
+    """``dst.at[idx].max(values, mode='drop')`` in chunked index ranges."""
+    n = idx.shape[0]
+    if n <= _GATHER_CHUNK:
+        return dst.at[idx].max(values, mode="drop")
+    for o in range(0, n, _GATHER_CHUNK):
+        dst = dst.at[idx[o:o + _GATHER_CHUNK]].max(
+            values[o:o + _GATHER_CHUNK], mode="drop")
+    return dst
 
 
 class DBG(NamedTuple):
@@ -72,8 +117,12 @@ class DBG(NamedTuple):
     is_junction_final: ``[M] bool``  junction or lone chain node
     is_joint:     ``[M] bool``  end node of a kept chain (n>=2)
     joint_uid:    ``[M] int32`` unitig id a joint bounds, -1 otherwise
-    node_state_uid / node_state_pos: ``[M, 2] int32`` per-state unitig
-                  membership (-1 when not a member of a kept chain)
+    node_state_uid / node_state_pos: ``[2M] int32`` per-state unitig
+                  membership (-1 when not a member of a kept chain),
+                  indexed by state ``s = 2*node + o``.  FLAT, not [M, 2]:
+                  XLA assigns [M, 2] int32 results a 128-lane tiled
+                  layout (minor dim 2 padded to 128 = 64x HBM, 24 GiB at
+                  chr21's 47M nodes)
     unitig_head / unitig_tail: ``[U] int32`` head/tail STATE of each kept
                   chain (U = M capacity -- kept chains have >= 2 disjoint
                   nodes so num_unitigs <= M/2; first num_unitigs valid)
@@ -98,10 +147,10 @@ class DBG(NamedTuple):
     joint_uid: jnp.ndarray
     node_state_uid: jnp.ndarray
     node_state_pos: jnp.ndarray
-    state_next_id: jnp.ndarray   # [M, 2] raw rightward continuation node id
+    state_next_id: jnp.ndarray   # [2M] raw rightward continuation node id
                                  # per state (valid for (1,1) nodes; -1 if
                                  # the neighbor is not in the node table)
-    state_next_o: jnp.ndarray    # [M, 2] orientation the continuation is
+    state_next_o: jnp.ndarray    # [2M] orientation the continuation is
                                  # encountered in (0 = canonical)
     unitig_head: jnp.ndarray
     unitig_tail: jnp.ndarray
@@ -207,11 +256,23 @@ def phantom_neighbors(dbg: DBG, k: int):
 
 
 def build_graph(nodes: jnp.ndarray, size, k: int,
-                bf: bloom_mod.BloomFilter, use_exact: bool = False) -> DBG:
+                bf: bloom_mod.BloomFilter, use_exact: bool = False,
+                staged: bool = False) -> DBG:
     """Construct the full decomposition from a sorted canonical node table.
 
     ``nodes``: ``[M, L] uint32`` sorted unique solid canonical k-mers
     (padding rows of 0xFFFFFFFF past ``size``).
+
+    ``staged=True`` runs the two pointer-doubling loops as HOST loops of
+    short device executions instead of ``lax.fori/while_loop``, and must
+    be called OUTSIDE jit (eager).  Needed at chromosome scale: the
+    tunneled TPU worker enforces a ~30-60 s watchdog on any SINGLE XLA
+    execution (measured round 4: a 28-iteration doubling loop over 94M
+    states executes ~25 s and passes; 56 iterations is killed with "TPU
+    worker process crashed", as is a 1000-iteration loop over 16M rows
+    -- duration, not size, is the trigger).  Results are identical: the
+    host loop applies the same round update and stops at the same
+    fixpoint, just one round per execution.
     """
     m, l = nodes.shape
     rounds = max(1, int(2 * m).bit_length())
@@ -255,20 +316,38 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
 
     def state_of(ids, orient):
         ok = chain_node & (ids >= 0)
-        ok = ok & chain_node[jnp.clip(ids, 0, m - 1)]
+        ok = ok & chunked_gather(chain_node, jnp.clip(ids, 0, m - 1))
         s = ids * 2 + orient
         return ok, s
 
     ok0, s0 = state_of(nxt0_id, nxt0_o)
     ok1, s1 = state_of(nxt1_id, nxt1_o)
     states = jnp.arange(2 * m, dtype=jnp.int32)
-    self_s = states.reshape(m, 2)
-    nxt = jnp.stack(
-        [jnp.where(ok0, s0, self_s[:, 0]), jnp.where(ok1, s1, self_s[:, 1])],
-        axis=1,
-    ).reshape(-1)
-    chain_state = jnp.repeat(chain_node, 2)
+    # Build nxt FLAT over the 2M states (gathers from [M] per-node
+    # arrays by node id) -- never materializing an [M, 2] stack: XLA can
+    # assign such intermediates a 128-lane tiled layout, padding the
+    # minor dim 2 -> 128 (64x HBM; 24 GiB at chr21's 47M nodes).
+    node_of_s = states >> 1
+    odd = (states & 1) == 1
+    nxt = jnp.where(odd,
+                    jnp.where(chunked_gather(ok1, node_of_s),
+                              chunked_gather(s1, node_of_s), states),
+                    jnp.where(chunked_gather(ok0, node_of_s),
+                              chunked_gather(s0, node_of_s), states))
+    chain_state = chunked_gather(chain_node, node_of_s)
     nxt = jnp.where(chain_state, nxt, states)
+    # Per-state continuations (DBG.state_next_*) computed here so the
+    # staged path can free the inputs; flat [2M] gathers (an [M, 2]
+    # stack would get the 64x-padded tiled layout, see DBG docstring).
+    state_next_id = jnp.where(odd, chunked_gather(nxt1_id, node_of_s),
+                              chunked_gather(nxt0_id, node_of_s))
+    state_next_o = jnp.where(odd, chunked_gather(nxt1_o, node_of_s),
+                             chunked_gather(nxt0_o, node_of_s))
+    # Eager (staged) mode keeps every named intermediate's device buffer
+    # alive; drop what later stages never read.  (No-op under jit.)
+    del ok0, s0, ok1, s1, odd, node_of_s, rpal, lpal
+    del rb, lb, r_id, r_fw, r_pal, l_id, l_fw, l_pal
+    del nxt0_id, nxt1_id, nxt0_o, nxt1_o
 
     # ---- cycle detection & breaking -------------------------------------
     # One fused doubling loop over the PRE-break map yields tail0 AND the
@@ -279,14 +358,30 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     # acyclic states it is never consumed.
     def _body0(_, c):
         ptr, minv = c
-        return ptr[ptr], jnp.minimum(minv, minv[ptr])
+        return (chunked_gather(ptr, ptr),
+                jnp.minimum(minv, chunked_gather(minv, ptr)))
 
-    tail0, cyc_min = jax.lax.fori_loop(0, rounds, _body0, (nxt, states))
-    cyclic = (nxt[tail0] != tail0) & chain_state
+    if staged:
+        ptr, minv = nxt, states
+        for _ in range(rounds):
+            p2, minv = _body0(None, (ptr, minv))
+            # Early exit only at an all-states fixpoint (cycles never
+            # reach one, so cyc_min keeps propagating, exactly like the
+            # fixed-round fori_loop).  bool() = one host sync per round.
+            done = bool(jnp.all(p2 == ptr))
+            ptr = p2
+            if done:
+                break
+        tail0, cyc_min = ptr, minv
+    else:
+        tail0, cyc_min = jax.lax.fori_loop(0, rounds, _body0,
+                                           (nxt, states))
+    cyclic = (chunked_gather(nxt, tail0) != tail0) & chain_state
     cyc_head = cyclic & (cyc_min == states)
     # Break each cycle just before its (min-state) head.
     nxt_orig = nxt
     nxt = jnp.where(cyclic & (nxt == cyc_min), states, nxt)
+    del tail0, cyc_min, cyclic  # staged-mode buffer hygiene
 
     # ---- chains ----------------------------------------------------------
     # Second fused loop on the broken (acyclic) map: tail + distance +
@@ -303,27 +398,37 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
 
     def _body1(c):
         i, ptr, dist, m1, m2, _ = c
-        p2 = ptr[ptr]
-        dist = dist + dist[ptr]
-        m1 = jnp.minimum(m1, m1[ptr])
-        m2 = jnp.minimum(m2, m2[ptr])
+        p2 = chunked_gather(ptr, ptr)
+        dist = dist + chunked_gather(dist, ptr)
+        m1 = jnp.minimum(m1, chunked_gather(m1, ptr))
+        m2 = jnp.minimum(m2, chunked_gather(m2, ptr))
         return (i + 1, p2, dist, m1, m2, jnp.all(p2 == ptr))
 
-    _, tail, d2t, minall, fmin, _ = jax.lax.while_loop(
-        _cond1, _body1,
-        (jnp.zeros((), jnp.int32), nxt,
-         (nxt != states).astype(jnp.int32),
-         jnp.where(chain_state, states, big),
-         jnp.where(chain_state, flip, big),
-         jnp.zeros((), bool)))
+    carry1 = (jnp.zeros((), jnp.int32), nxt,
+              (nxt != states).astype(jnp.int32),
+              jnp.where(chain_state, states, big),
+              jnp.where(chain_state, flip, big),
+              jnp.zeros((), bool))
+    if staged:
+        c = carry1
+        for _ in range(rounds):
+            c = _body1(c)
+            if bool(c[5]):  # same exit condition as _cond1
+                break
+        _, tail, d2t, minall, fmin, _ = c
+    else:
+        _, tail, d2t, minall, fmin, _ = jax.lax.while_loop(
+            _cond1, _body1, carry1)
 
     # prev state: s has a predecessor iff its flip has a successor in the
     # PRE-break map (nxt_orig[flip]==flip means flip is a tail -> s is a
     # head).  Using the broken map here would also make the flip of a
     # mirror cycle's break-tail look like a head mid-cycle.  Cycle heads
     # are heads by construction.
-    has_prev = chain_state & (nxt_orig[flip] != flip) & ~cyc_head
+    has_prev = chain_state & (chunked_gather(nxt_orig, flip) != flip) \
+        & ~cyc_head
     is_head = chain_state & ~has_prev
+    del carry1, nxt, nxt_orig, flip, has_prev  # staged-mode hygiene
 
     # Mirror dedup: every chain appears once per direction; keep the copy
     # whose minimum member state is <= the mirror's minimum (computed as
@@ -339,10 +444,11 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     # ``src/DeBruijnGraph.cpp:212-216``); mirror states are both lone, the
     # node promotion is orientation-independent.
     lone_state = is_head & (d2t == 0)
-    lone_node = lone_state.reshape(m, 2).any(axis=1)
+    lone_node = lone_state[0::2] | lone_state[1::2]  # flat: no [M, 2]
     is_junction_final = is_junction | (chain_node & lone_node)
 
     real_head = keep & (d2t >= 1)
+    del keep, minall, fmin, is_head, lone_state, lone_node  # hygiene
 
     # ---- unitig ids, membership, positions -------------------------------
     uid_of_head = jnp.cumsum(real_head.astype(jnp.int32)) - 1
@@ -353,27 +459,31 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     # ACG->CGT) and chains are state-disjoint over the 2M states, so
     # num_unitigs <= 2M/2 = M.
     head_tgt = jnp.where(real_head, uid_of_head, m)
-    unitig_head = jnp.full((m,), _NO_STATE).at[
-        head_tgt].set(states, mode="drop")
-    unitig_tail = jnp.full((m,), _NO_STATE).at[
-        head_tgt].set(tail[states], mode="drop")
-    unitig_len = jnp.zeros((m,), jnp.int32).at[
-        head_tgt].set(n_nodes, mode="drop")
-    unitig_circular = jnp.zeros((m,), bool).at[
-        head_tgt].set(cyc_head, mode="drop")
+    unitig_head = chunked_scatter_set(
+        jnp.full((m,), _NO_STATE), head_tgt, states)
+    unitig_tail = chunked_scatter_set(
+        jnp.full((m,), _NO_STATE), head_tgt, tail)
+    unitig_len = chunked_scatter_set(
+        jnp.zeros((m,), jnp.int32), head_tgt, n_nodes)
+    unitig_circular = chunked_scatter_set(
+        jnp.zeros((m,), bool), head_tgt, cyc_head)
 
     # member -> head via the chain's unique tail state
-    head_by_tail = jnp.full((2 * m,), _NO_STATE).at[
-        jnp.where(real_head, tail, 2 * m)
-    ].set(states, mode="drop")
-    my_head = head_by_tail[tail]  # -1 when chain not kept / not real
+    head_by_tail = chunked_scatter_set(
+        jnp.full((2 * m,), _NO_STATE),
+        jnp.where(real_head, tail, 2 * m), states)
+    my_head = chunked_gather(head_by_tail, tail)  # -1 if chain not kept
+    del head_by_tail, tail, real_head, cyc_head, n_nodes  # hygiene
     member = chain_state & (my_head >= 0)
-    uid = jnp.where(member, uid_of_head[jnp.clip(my_head, 0, 2 * m - 1)],
+    my_head_c = jnp.clip(my_head, 0, 2 * m - 1)
+    uid = jnp.where(member, chunked_gather(uid_of_head, my_head_c),
                     -1).astype(jnp.int32)
-    pos = jnp.where(member, d2t[jnp.clip(my_head, 0, 2 * m - 1)] - d2t, -1)
+    pos = jnp.where(member, chunked_gather(d2t, my_head_c) - d2t, -1)
+    del my_head, my_head_c, member, uid_of_head, d2t, chain_state
+    del head_tgt, states  # hygiene
 
-    node_state_uid = uid.reshape(m, 2)
-    node_state_pos = pos.reshape(m, 2)
+    node_state_uid = uid          # flat [2M], indexed by state
+    node_state_pos = pos
 
     # joints: end nodes of kept chains
     head_node = unitig_head >> 1
@@ -384,10 +494,10 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     uslot = jnp.arange(m, dtype=jnp.int32)
     tgt_h = jnp.where(valid_u, head_node, m)
     tgt_t = jnp.where(valid_u, tail_node, m)
-    is_joint = is_joint.at[tgt_h].set(True, mode="drop")
-    is_joint = is_joint.at[tgt_t].set(True, mode="drop")
-    joint_uid = joint_uid.at[tgt_h].max(uslot, mode="drop")
-    joint_uid = joint_uid.at[tgt_t].max(uslot, mode="drop")
+    is_joint = chunked_scatter_set(is_joint, tgt_h, True)
+    is_joint = chunked_scatter_set(is_joint, tgt_t, True)
+    joint_uid = chunked_scatter_max(joint_uid, tgt_h, uslot)
+    joint_uid = chunked_scatter_max(joint_uid, tgt_t, uslot)
 
     return DBG(
         nodes=nodes, size=jnp.asarray(size, jnp.int32),
@@ -398,8 +508,7 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
         is_junction_final=is_junction_final,
         is_joint=is_joint, joint_uid=joint_uid,
         node_state_uid=node_state_uid, node_state_pos=node_state_pos,
-        state_next_id=jnp.stack([nxt0_id, nxt1_id], axis=1),
-        state_next_o=jnp.stack([nxt0_o, nxt1_o], axis=1),
+        state_next_id=state_next_id, state_next_o=state_next_o,
         unitig_head=unitig_head, unitig_tail=unitig_tail,
         unitig_len=unitig_len, unitig_circular=unitig_circular,
         num_unitigs=num_unitigs,

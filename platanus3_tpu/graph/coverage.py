@@ -48,8 +48,13 @@ __all__ = ["CoverageResult", "count_coverage"]
 
 class CoverageResult(NamedTuple):
     node_cov: jnp.ndarray      # [M] int32 coverage per node id
-    jun_tally: jnp.ndarray     # [M, 8] int32; cols 0-3 left A/C/G/T,
-                               #               cols 4-7 right A/C/G/T
+    jun_tally: jnp.ndarray     # [M*8] int32 FLAT (row nid*8 + col);
+                               # cols 0-3 left A/C/G/T, 4-7 right A/C/G/T.
+                               # Flat because an [M, 8] int32 result gets
+                               # a 128-lane tiled layout (minor dim 8
+                               # padded to 128 = 16x HBM, 24 GiB at chr21
+                               # scale); rows are gathered only at the
+                               # small junction pack (graph/emit.py).
     """Both relative to the node's canonical orientation."""
 
 
@@ -128,4 +133,4 @@ def count_coverage(dbg: DBG, k: int, bases, valid_len, start, read_len,
     n_col = jnp.where(is_fw, 4 + nxt_in, 3 - nxt_in)     # right[b] vs left[3-b]
     tally = scatter_tally(tally, n_col, is_jun & has_next)
 
-    return CoverageResult(node_cov=node_cov, jun_tally=tally.reshape(m, 8))
+    return CoverageResult(node_cov=node_cov, jun_tally=tally)

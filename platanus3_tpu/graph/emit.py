@@ -69,7 +69,7 @@ for _cls in (SeqPack, JunPack):
 def materialize_sequences(dbg: DBG, chars, *, k: int, ucap: int,
                           char_cap: int) -> SeqPack:
     """Build the flat sequence-code array for the first ``ucap`` unitig
-    slots (dense ids).  ``chars`` = member_chars(dbg, k) ``[M, 2]``."""
+    slots (dense ids).  ``chars`` = member_chars(dbg, k) ``[2M]``."""
     m, l = dbg.nodes.shape
     head = dbg.unitig_head[:ucap]
     ulen = dbg.unitig_len[:ucap]
@@ -93,14 +93,16 @@ def materialize_sequences(dbg: DBG, chars, *, k: int, ucap: int,
         tgt = jnp.where(valid_u, base_off + j, char_cap)
         flat = flat.at[tgt].set(ch, mode="drop")
 
-    # Member chars: one scatter across all states.
-    uid = dbg.node_state_uid.reshape(-1)
-    pos = dbg.node_state_pos.reshape(-1)
-    ch = chars.reshape(-1).astype(jnp.uint8)
+    # Member chars: one scatter across all states (all flat [2M];
+    # chunked -- 94M-row scatters at chr21 scale, build.chunked_gather).
+    from platanus3_tpu.graph.build import chunked_scatter_set
+    uid = dbg.node_state_uid
+    pos = dbg.node_state_pos
+    ch = chars.astype(jnp.uint8)
     memb = (uid >= 0) & (pos >= 1) & (uid < ucap)
     uidc = jnp.clip(uid, 0, ucap - 1)
     tgt = jnp.where(memb, offs[uidc] + pos + (k - 1), char_cap)
-    flat = flat.at[tgt].set(ch, mode="drop")
+    flat = chunked_scatter_set(flat, tgt, ch)
 
     return SeqPack(flat=flat, offs=offs, ulen=ulen, circular=circ)
 
@@ -125,13 +127,14 @@ def pack_junctions(dbg: DBG, cov, reach_jun, *, jun_cap: int) -> JunPack:
     # decides the sign).  Mirrors the reference's direct-vs-complement
     # joint-map hit (src/DeBruijnGraph.cpp:480-505, 520-541).
     s_n = nidc * 2 + jnp.where(isfw, 0, 1)
-    n_joint_fw = dbg.node_state_uid.reshape(-1)[s_n] >= 0
+    n_joint_fw = dbg.node_state_uid[s_n] >= 0
 
     return JunPack(
         node_id=jidx,
         kmers=dbg.nodes[jc],
         cov=cov.node_cov[jc],
-        tally=cov.jun_tally[jc],
+        tally=cov.jun_tally[jc[:, None] * 8
+                            + jnp.arange(8, dtype=jnp.int32)[None, :]],
         nbr_id=nid, nbr_present=pres, nbr_isfw=isfw,
         nbr_isjun=n_isjun, nbr_joint_uid=n_juid,
         nbr_joint_fw=n_joint_fw,

@@ -18,7 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from platanus3_tpu.graph.build import DBG
+from platanus3_tpu.graph.build import (DBG, chunked_gather,
+                                       chunked_scatter_set)
 from platanus3_tpu.ops import count as count_mod
 from platanus3_tpu.ops import kmer as kmer_mod
 
@@ -26,24 +27,35 @@ __all__ = ["reachable"]
 
 
 def _edge_targets(dbg: DBG):
-    """[M, 8] contracted-vertex target of each junction edge (-1 none).
+    """[8M] FLAT contracted-vertex target of each junction edge (-1 none),
+    column-major over the 8 (side, base) slots.
 
     For a junction's present neighbor: the neighbor node is a junction
     (vertex = its id) or a chain member (vertex = M + uid of its chain; a
     chain node adjacent to a junction is necessarily a chain END, but any
     member state carries the uid).  Neighbors absent from the node table
     (Bloom false positives) have no vertex.
+
+    Flat per-column processing: an [M, 8] int32 concatenate would be
+    assigned a 128-lane tiled layout (16x HBM -- 24 GiB at chr21 scale).
     """
     m = dbg.nodes.shape[0]
-    nid = jnp.concatenate([dbg.left_id, dbg.right_id], axis=1)     # [M, 8]
-    present = jnp.concatenate([dbg.left_present, dbg.right_present], axis=1)
-    nidc = jnp.clip(nid, 0, m - 1)
-    n_jun = dbg.is_junction_final[nidc]
-    n_uid = jnp.maximum(dbg.node_state_uid[nidc, 0], dbg.node_state_uid[nidc, 1])
-    tgt = jnp.where(n_jun, nidc, jnp.where(n_uid >= 0, m + n_uid, -1))
-    tgt = jnp.where(present & (nid >= 0), tgt, -1)
-    # Only junction rows emit edges.
-    return jnp.where(dbg.is_junction_final[:, None], tgt, -1)
+    uid = dbg.node_state_uid
+    cols = []
+    for side_id, side_pres in ((dbg.left_id, dbg.left_present),
+                               (dbg.right_id, dbg.right_present)):
+        for b in range(4):
+            nid = side_id[:, b]
+            present = side_pres[:, b]
+            nidc = jnp.clip(nid, 0, m - 1)
+            n_jun = dbg.is_junction_final[nidc]
+            n_uid = jnp.maximum(uid[2 * nidc], uid[2 * nidc + 1])
+            tgt = jnp.where(n_jun, nidc, jnp.where(n_uid >= 0, m + n_uid,
+                                                   -1))
+            tgt = jnp.where(present & (nid >= 0) & dbg.is_junction_final,
+                            tgt, -1)
+            cols.append(tgt)
+    return jnp.concatenate(cols)
 
 
 def reachable(dbg: DBG, seed_fw: jnp.ndarray, has_seed: jnp.ndarray, k: int,
@@ -63,8 +75,8 @@ def reachable(dbg: DBG, seed_fw: jnp.ndarray, has_seed: jnp.ndarray, k: int,
     sid = count_mod.lookup_id(table, canon)
     sid = jnp.where(has_seed, sid, -1)
     sidc = jnp.clip(sid, 0, m - 1)
-    s_uid = jnp.maximum(dbg.node_state_uid[sidc, 0],
-                        dbg.node_state_uid[sidc, 1])
+    s_uid = jnp.maximum(dbg.node_state_uid[2 * sidc],
+                        dbg.node_state_uid[2 * sidc + 1])
     s_vert = jnp.where(dbg.is_junction_final[sidc], sidc,
                        jnp.where(s_uid >= 0, m + s_uid, -1))
     s_vert = jnp.where(sid >= 0, s_vert, -1)
@@ -73,22 +85,22 @@ def reachable(dbg: DBG, seed_fw: jnp.ndarray, has_seed: jnp.ndarray, k: int,
         jnp.where(s_vert >= 0, s_vert, nv)
     ].set(True, mode="drop")
 
-    tgt = _edge_targets(dbg)                     # [M, 8]
-    src = jnp.broadcast_to(jnp.arange(m)[:, None], (m, 8))
-    e_src = src.reshape(-1)
-    e_tgt = tgt.reshape(-1)
+    e_tgt = _edge_targets(dbg)                   # [8M] flat, column-major
+    e_src = jnp.tile(jnp.arange(m, dtype=jnp.int32), 8)
     e_ok = e_tgt >= 0
     e_tgt_c = jnp.clip(e_tgt, 0, nv - 1)
 
     def body(state):
+        # Loop-body gathers/scatters over [8M] edge arrays (377M rows at
+        # chr21 scale) must be chunked -- see build.chunked_gather.
         reach, _ = state
         new = reach
         # junction -> neighbor
-        new = new.at[jnp.where(e_ok & reach[e_src], e_tgt_c, nv)].set(
-            True, mode="drop")
+        fwd = e_ok & chunked_gather(reach, e_src)
+        new = chunked_scatter_set(new, jnp.where(fwd, e_tgt_c, nv), True)
         # neighbor -> junction
-        back = e_ok & new[e_tgt_c]
-        new = new.at[jnp.where(back, e_src, nv)].set(True, mode="drop")
+        back = e_ok & chunked_gather(new, e_tgt_c)
+        new = chunked_scatter_set(new, jnp.where(back, e_src, nv), True)
         changed = jnp.any(new != reach)
         return new, changed
 

@@ -21,11 +21,17 @@ __all__ = ["member_chars"]
 
 
 def member_chars(dbg: DBG, k: int) -> jnp.ndarray:
-    """[M, 2] uint32 char code contributed by each node state.
+    """[2M] uint32 char code contributed by each node state
+    (``s = 2*node + o``; FLAT -- an [M, 2] stack would be assigned a
+    128-lane tiled layout, 64x HBM at chromosome scale, see DBG
+    docstring).
 
     o=0 (canonical orientation): last base of the canonical k-mer;
     o=1: last base of the reverse complement = complement of first base.
     """
+    m = dbg.nodes.shape[0]
     lastb = kmer_mod.last_base(dbg.nodes, k)
     firstb = kmer_mod.first_base(dbg.nodes, k)
-    return jnp.stack([lastb, np.uint32(3) - firstb], axis=1)
+    s = jnp.arange(2 * m)
+    return jnp.where((s & 1) == 0, lastb[s >> 1],
+                     np.uint32(3) - firstb[s >> 1])

@@ -32,7 +32,7 @@ __all__ = ["unitig_coverage", "tip_mask", "bubble_mask",
 def unitig_coverage(dbg_np, node_cov: np.ndarray) -> np.ndarray:
     """Mean member-node coverage per unitig ([U] float)."""
     num_u = int(dbg_np.num_unitigs)
-    uid = np.asarray(dbg_np.node_state_uid).reshape(-1)
+    uid = np.asarray(dbg_np.node_state_uid)  # flat [2M]
     m2 = uid.shape[0]
     covs = np.repeat(np.asarray(node_cov), 2)
     tot = np.zeros(max(num_u, 1), dtype=np.float64)
@@ -53,16 +53,15 @@ def endpoint_junctions(dbg_np):
     num_u = int(dbg_np.num_unitigs)
     heads = np.asarray(dbg_np.unitig_head[:num_u])
     tails = np.asarray(dbg_np.unitig_tail[:num_u])
-    nxt_id = np.asarray(dbg_np.state_next_id)     # [M, 2]
+    nxt_id = np.asarray(dbg_np.state_next_id)     # flat [2M], by state
     nxt_o = np.asarray(dbg_np.state_next_o)
     ldeg = np.asarray(dbg_np.left_present).sum(1)
     rdeg = np.asarray(dbg_np.right_present).sum(1)
 
     def far(states):
         """Continue past `states` rightward -> (junction id, far degree)."""
-        v, o = states >> 1, states & 1
-        j = nxt_id[v, o]
-        jo = nxt_o[v, o]
+        j = nxt_id[states]
+        jo = nxt_o[states]
         jc = np.clip(j, 0, len(ldeg) - 1)
         # Arriving rightward, the junction's far side is its encountered
         # right: canonical right when encountered forward, left otherwise.
@@ -160,7 +159,7 @@ def node_keep_mask(dbg_np, drop_unitigs: np.ndarray) -> np.ndarray:
     keep = np.arange(m) < size
     if drop_unitigs.size == 0 or not drop_unitigs.any():
         return keep
-    uid = np.asarray(dbg_np.node_state_uid)  # [M, 2]
+    uid = np.asarray(dbg_np.node_state_uid).reshape(m, 2)  # host-side view
     dropped = np.zeros(int(dbg_np.num_unitigs) + 1, bool)
     dropped[: drop_unitigs.size] = drop_unitigs
     member_dropped = dropped[np.clip(uid, 0, len(dropped) - 1)] & (uid >= 0)

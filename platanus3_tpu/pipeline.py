@@ -143,6 +143,23 @@ def _stage2(nodes, size, bf, *, k, use_exact):
     return build_mod.build_graph(nodes, size, k, bf, use_exact=use_exact)
 
 
+# Above this node count stage 2 runs STAGED: eager ops + host-looped
+# pointer doubling, keeping every single XLA execution short.  The
+# tunneled TPU worker kills any one execution after ~30-60 s, and the
+# fully-jitted graph program at chromosome scale runs minutes (see
+# build_graph docstring).  Module-level so tests can shrink it and
+# assert staged == jitted on small graphs.
+_STAGE2_STAGED_THRESHOLD = 1 << 23
+
+
+def run_stage2(nodes, size, bf, *, k, use_exact):
+    if nodes.shape[0] > _STAGE2_STAGED_THRESHOLD:
+        return build_mod.build_graph(nodes, jnp.asarray(size, jnp.int32),
+                                     k, bf, use_exact=use_exact,
+                                     staged=True)
+    return _stage2(nodes, size, bf, k=k, use_exact=use_exact)
+
+
 @partial(jax.jit, static_argnames=("k", "has_nid"))
 def _stage3(dbg, packed, valid_len, start, read_len, prev_base, next_base,
             seed_fw, has_seed, nid, *, k, has_nid):
@@ -217,7 +234,7 @@ def _expand_bloom_closure(dbg, nodes, size, bf, config, log):
         cap2 = _graph_cap(n_new)
         nodes = _pad_table_keys(merged.keys, n_new, cap2)
         size = jnp.asarray(n_new, jnp.int32)
-        dbg = _stage2(nodes, size, bf, k=config.k, use_exact=False)
+        dbg = run_stage2(nodes, size, bf, k=config.k, use_exact=False)
         log.write(f"bloom closure round {rnd + 1}: {n_extra} phantom "
                   f"neighbor k-mers -> {n_new} nodes")
     return dbg, nodes, size, changed
@@ -478,8 +495,8 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
               for i in range(len(build_mod.DBG._fields))])
         log.write("stage2 restored from checkpoint")
     else:
-        dbg = _stage2(nodes, size, bf, k=config.k,
-                      use_exact=config.use_exact_membership)
+        dbg = run_stage2(nodes, size, bf, k=config.k,
+                         use_exact=config.use_exact_membership)
         if not config.use_exact_membership and config.bloom_expand_rounds:
             dbg, nodes, size, grew = _expand_bloom_closure(
                 dbg, nodes, size, bf, config, log)
@@ -531,7 +548,7 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
             size = dev(np.asarray(n_keep, np.int32))
             # Rebuild with EXACT membership: after deletion the Bloom
             # filter no longer describes the k-mer set.
-            dbg = _stage2(nodes, size, bf, k=config.k, use_exact=True)
+            dbg = run_stage2(nodes, size, bf, k=config.k, use_exact=True)
             if nid is not None:
                 # Kept rows keep their lexicographic order, so the old
                 # node ids remap by rank among the keep mask.

@@ -45,7 +45,7 @@ from platanus3_tpu.ops import kmer as kmer_mod
 from platanus3_tpu.ops import solid as solid_mod
 from platanus3_tpu.ops.windowmin import window_min
 from platanus3_tpu.pipeline import (AssemblyResult, _graph_cap, _next_pow2,
-                                    _stage2, _stage3)
+                                    _stage3, run_stage2)
 from platanus3_tpu.utils.logging import PipelineLog
 
 __all__ = ["assemble_streaming"]
@@ -502,8 +502,8 @@ def assemble_streaming(source, config: AssemblyConfig,
         del short_table
     else:
         del skeys, scounts, nkeys, ncounts
-    dbg = _stage2(nodes, jnp.asarray(num_nodes, jnp.int32), bf, k=k,
-                  use_exact=config.use_exact_membership)
+    dbg = run_stage2(nodes, jnp.asarray(num_nodes, jnp.int32), bf, k=k,
+                     use_exact=config.use_exact_membership)
     log.write("[streaming] graph built")
 
     # ---- pass 3: coverage accumulation ----
@@ -512,7 +512,7 @@ def assemble_streaming(source, config: AssemblyConfig,
         if mesh is not None:
             cov_fn = make_cov_fn(dbg)
             node_cov = to_global(mesh, np.zeros(m, np.int32), P())
-            jun_tally = to_global(mesh, np.zeros((m, 8), np.int32), P())
+            jun_tally = to_global(mesh, np.zeros(m * 8, np.int32), P())
             for lo, hi in _slices(c_total, slice_chunks):
                 packed, vlen, rid, start, rlen, pb, nb = slice_arrays(lo, hi)
                 node_cov, jun_tally = cov_fn(
@@ -522,7 +522,7 @@ def assemble_streaming(source, config: AssemblyConfig,
             return cov_mod.CoverageResult(node_cov=node_cov,
                                           jun_tally=jun_tally)
         node_cov = jnp.zeros((m,), jnp.int32)
-        jun_tally = jnp.zeros((m, 8), jnp.int32)
+        jun_tally = jnp.zeros((m * 8,), jnp.int32)
         for lo, hi in _slices(c_total, slice_chunks):
             packed, vlen, rid, start, rlen, pb, nb = slice_arrays(lo, hi)
             node_cov, jun_tally = _cov_slice(
@@ -552,8 +552,8 @@ def assemble_streaming(source, config: AssemblyConfig,
             padk = np.full((cap2 - n_keep, kept_keys.shape[1]),
                            np.uint32(0xFFFFFFFF))
             nodes = jnp.asarray(np.concatenate([kept_keys, padk]))
-            dbg = _stage2(nodes, jnp.asarray(n_keep, jnp.int32), bf, k=k,
-                          use_exact=True)
+            dbg = run_stage2(nodes, jnp.asarray(n_keep, jnp.int32), bf,
+                             k=k, use_exact=True)
             cov = accumulate_coverage(dbg)
             log.write(f"[streaming] simplify round {rnd + 1}: dropped "
                       f"{n_drop} unitigs, {n_keep} nodes left")

@@ -104,6 +104,41 @@ def test_chunked_join_bloom_membership_equal(monkeypatch):
                                       err_msg=f"DBG leaf {name!r} differs")
 
 
+def test_staged_build_equals_jitted(monkeypatch):
+    """The staged graph build (eager ops + host-looped pointer doubling,
+    used above _STAGE2_STAGED_THRESHOLD to keep every XLA execution
+    under the tunneled worker's ~30-60s watchdog) must produce a DBG
+    identical to the fully-jitted build, leaf for leaf."""
+    k = 25
+    reads = _repeat_reads()
+    tab = _node_table(reads, k)
+    n = int(tab.size)
+    cap = pipeline._graph_cap(n)
+    nodes = pipeline._pad_table_keys(tab.keys, n, cap)
+    size = jnp.asarray(n, jnp.int32)
+    bf = bloom_mod.make_bloom(20, 4)
+
+    jitted = pipeline._stage2(nodes, size, bf, k=k, use_exact=True)
+    monkeypatch.setattr(pipeline, "_STAGE2_STAGED_THRESHOLD", 64)
+    staged = pipeline.run_stage2(nodes, size, bf, k=k, use_exact=True)
+    for name, a, b in zip(jitted._fields, jitted, staged):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"DBG leaf {name!r} differs between jitted and "
+                    f"staged builds")
+
+
+def test_staged_pipeline_gfa_equality(monkeypatch):
+    """Full pipeline through the staged stage-2 path: byte-identical
+    GFA (covers the cycle/mirror handling the host loops early-exit on)."""
+    reads = _repeat_reads(glen=3000, seed=13)
+    cfg = AssemblyConfig(k=25, filter_bits=1 << 22, log_path=None)
+    base = pipeline.assemble(reads, cfg, write_output=False)
+    monkeypatch.setattr(pipeline, "_STAGE2_STAGED_THRESHOLD", 64)
+    staged = pipeline.assemble(reads, cfg, write_output=False)
+    assert staged.gfa_lines == base.gfa_lines
+
+
 def test_non_pow2_graph_cap_pipeline_equality(monkeypatch):
     """Full pipeline with the shrunken capacity policy (non-pow2 caps,
     the >4M-node regime) must emit byte-identical GFA lines."""
