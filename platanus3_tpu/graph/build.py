@@ -362,15 +362,23 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
                 jnp.minimum(minv, chunked_gather(minv, ptr)))
 
     if staged:
+        # ONE round per XLA execution: a jitted round fuses its gathers
+        # and runs well under the worker's per-execution watchdog (a
+        # single 94M-row gather is ~0.5 s; it is only the multi-round
+        # in-program loop that gets killed).
+        @jax.jit
+        def _round0(c):
+            ptr, minv = c
+            p2, minv = _body0(None, (ptr, minv))
+            return p2, minv, jnp.all(p2 == ptr)
+
         ptr, minv = nxt, states
         for _ in range(rounds):
-            p2, minv = _body0(None, (ptr, minv))
             # Early exit only at an all-states fixpoint (cycles never
             # reach one, so cyc_min keeps propagating, exactly like the
             # fixed-round fori_loop).  bool() = one host sync per round.
-            done = bool(jnp.all(p2 == ptr))
-            ptr = p2
-            if done:
+            ptr, minv, done = _round0((ptr, minv))
+            if bool(done):
                 break
         tail0, cyc_min = ptr, minv
     else:
@@ -410,9 +418,10 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
               jnp.where(chain_state, flip, big),
               jnp.zeros((), bool))
     if staged:
+        _round1 = jax.jit(_body1)  # one round per execution (see above)
         c = carry1
         for _ in range(rounds):
-            c = _body1(c)
+            c = _round1(c)
             if bool(c[5]):  # same exit condition as _cond1
                 break
         _, tail, d2t, minall, fmin, _ = c
