@@ -1,5 +1,13 @@
 """Stage-1 roofline analysis (VERDICT r2 item 6).
 
+NOTE (round 4): ``bench.py`` now self-normalizes — it measures the
+sort-only bound in-session at the EXACT production operand mix
+(non-stable, invalid flag folded into the spare MSB, one packed
+payload; see ``count.sort_kmers``) and emits ``fraction_of_sort_bound``
+in its JSON line.  This tool's bound models a STABLE 4-operand sort,
+which is looser (stage 1 can measure >1x of it); it remains useful for
+the raw-sort and HBM probes only.
+
 Stage 1 is sort-bound by design (sort + scan counting, ops/count.py).
 This tool measures, at the EXACT shapes bench.py's stage 1 sorts:
 
