@@ -66,7 +66,8 @@ _GATHER_CHUNK = 1 << 25
 
 
 def chunked_gather(a, idx):
-    """``a[idx]`` with indices split into <=2^26-row chunks (see above)."""
+    """``a[idx]`` with indices split into ``_GATHER_CHUNK`` (2^25)-row
+    chunks (see above)."""
     n = idx.shape[0]
     if n <= _GATHER_CHUNK:
         return a[idx]
@@ -255,6 +256,52 @@ def phantom_neighbors(dbg: DBG, k: int):
     return all_canon, mask
 
 
+# ---- pointer-doubling round bodies (module level: the staged path jits
+# them directly, and a module-level jit's shape-keyed cache means the
+# simplify / bloom-closure graph REBUILDS at chromosome scale reuse the
+# compiled round executables instead of re-tracing per build_graph call
+# (ADVICE r4)).
+
+def _body0(_, c):
+    ptr, minv = c
+    return (chunked_gather(ptr, ptr),
+            jnp.minimum(minv, chunked_gather(minv, ptr)))
+
+
+def _body1(c):
+    i, ptr, dist, m1, m2, _ = c
+    p2 = chunked_gather(ptr, ptr)
+    dist = dist + chunked_gather(dist, ptr)
+    m1 = jnp.minimum(m1, chunked_gather(m1, ptr))
+    m2 = jnp.minimum(m2, chunked_gather(m2, ptr))
+    return (i + 1, p2, dist, m1, m2, jnp.all(p2 == ptr))
+
+
+# Staged mode: doubling rounds batched per XLA execution (VERDICT r4
+# item 8).  4 rounds ~= 4 gather passes ~2 s at chr21's 94M states --
+# far under the ~30-60 s per-execution watchdog -- while paying the
+# tunnel's per-execution host round-trip once per 4 rounds.
+_STAGED_ROUNDS_PER_EXEC = 4
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("r",))
+def _staged_round0(c, *, r: int):
+    ptr, minv = c
+    for _ in range(r - 1):
+        ptr, minv = _body0(None, (ptr, minv))
+    p2, minv = _body0(None, (ptr, minv))
+    return p2, minv, jnp.all(p2 == ptr)
+
+
+@_partial(jax.jit, static_argnames=("r",))
+def _staged_round1(c, *, r: int):
+    for _ in range(r):
+        c = _body1(c)
+    return c
+
+
 def build_graph(nodes: jnp.ndarray, size, k: int,
                 bf: bloom_mod.BloomFilter, use_exact: bool = False,
                 staged: bool = False) -> DBG:
@@ -356,28 +403,23 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     # its cycle, so the value equals the old masked cyc_min wherever it is
     # read (cyc_head and the break test gate on ``cyclic`` first); at
     # acyclic states it is never consumed.
-    def _body0(_, c):
-        ptr, minv = c
-        return (chunked_gather(ptr, ptr),
-                jnp.minimum(minv, chunked_gather(minv, ptr)))
-
     if staged:
-        # ONE round per XLA execution: a jitted round fuses its gathers
-        # and runs well under the worker's per-execution watchdog (a
-        # single 94M-row gather is ~0.5 s; it is only the multi-round
-        # in-program loop that gets killed).
-        @jax.jit
-        def _round0(c):
-            ptr, minv = c
-            p2, minv = _body0(None, (ptr, minv))
-            return p2, minv, jnp.all(p2 == ptr)
-
+        # A few rounds per XLA execution (module-level jit, so simplify /
+        # bloom-closure rebuilds at identical shapes reuse the compiled
+        # executable instead of re-jitting, ADVICE r4): each round is one
+        # ~0.5 s gather pass at chr21 scale, so _STAGED_ROUNDS_PER_EXEC=4
+        # stays far under the worker's per-execution watchdog while
+        # cutting the per-round host round-trips (hundreds of ms tunnel
+        # latency each) 4x.  Post-fixpoint applications are identities,
+        # so batching rounds cannot change the result (doubling past
+        # convergence leaves ptr/min/dist unchanged).
         ptr, minv = nxt, states
-        for _ in range(rounds):
+        for _ in range(0, rounds, _STAGED_ROUNDS_PER_EXEC):
             # Early exit only at an all-states fixpoint (cycles never
             # reach one, so cyc_min keeps propagating, exactly like the
-            # fixed-round fori_loop).  bool() = one host sync per round.
-            ptr, minv, done = _round0((ptr, minv))
+            # fixed-round fori_loop).  bool() = one host sync per batch.
+            ptr, minv, done = _staged_round0(
+                (ptr, minv), r=_STAGED_ROUNDS_PER_EXEC)
             if bool(done):
                 break
         tail0, cyc_min = ptr, minv
@@ -404,24 +446,15 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     def _cond1(c):
         return (c[0] < rounds) & ~c[5]
 
-    def _body1(c):
-        i, ptr, dist, m1, m2, _ = c
-        p2 = chunked_gather(ptr, ptr)
-        dist = dist + chunked_gather(dist, ptr)
-        m1 = jnp.minimum(m1, chunked_gather(m1, ptr))
-        m2 = jnp.minimum(m2, chunked_gather(m2, ptr))
-        return (i + 1, p2, dist, m1, m2, jnp.all(p2 == ptr))
-
     carry1 = (jnp.zeros((), jnp.int32), nxt,
               (nxt != states).astype(jnp.int32),
               jnp.where(chain_state, states, big),
               jnp.where(chain_state, flip, big),
               jnp.zeros((), bool))
     if staged:
-        _round1 = jax.jit(_body1)  # one round per execution (see above)
         c = carry1
-        for _ in range(rounds):
-            c = _round1(c)
+        for _ in range(0, rounds, _STAGED_ROUNDS_PER_EXEC):
+            c = _staged_round1(c, r=_STAGED_ROUNDS_PER_EXEC)
             if bool(c[5]):  # same exit condition as _cond1
                 break
         _, tail, d2t, minall, fmin, _ = c

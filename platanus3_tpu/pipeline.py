@@ -392,7 +392,15 @@ def _assemble_impl(source, config, log, write_output, mesh, extra_solid=None):
         from platanus3_tpu.utils.checkpoint import Checkpointer
         ckpt = Checkpointer(
             config.checkpoint_dir,
-            digest_parts=(config.k, config.short_k, config.cov_threshold,
+            # Format-version token FIRST (ADVICE r4): checkpoint layouts
+            # have changed across rounds (DBG per-state leaves [M,2] ->
+            # flat [2M], jun_tally [M,8] -> [M*8]); without a version in
+            # the digest, an old-layout stage2/stage3 .npz would be
+            # trusted on resume and its flat-index gathers would clamp
+            # out of range, silently corrupting the emitted GFA.  Bump
+            # whenever any checkpointed array layout changes.
+            digest_parts=("fmt=2",
+                          config.k, config.short_k, config.cov_threshold,
                           config.filter_policy, config.filter_bits,
                           config.chunk_len, need_bloom, batch.num_reads,
                           batch.all_bases,
