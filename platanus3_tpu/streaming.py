@@ -6,21 +6,29 @@ bases, impossible for a human-chromosome run (BASELINE config 5).  The
 streaming mode processes the chunked read batch in fixed-size SLICES of
 chunks with static shapes (one compile per stage regardless of input
 size), in the classic two-pass counting layout (cf. KMC/Gerbil two-pass
-disk counters, PAPERS.md -- here the "disk" is host RAM and the second
+disk counters, PAPERS.md -- here the "disk" is device HBM and the second
 pass re-extracts from packed reads):
 
-  pass 1: per slice, count owned canonical short k-mers -> merge into a
-          fixed-capacity global count table (``merge_into``);
-  pass 2: per slice, per-position counts via sort-join against the global
-          table -> window-min solidity -> solid node table merge + seed
-          reduction (+ optional Bloom add);
+  pass 1: per slice, APPEND valid canonical short k-mers (with position
+          ids) into hash-partitioned device buffers; then sort each
+          partition ONCE and scatter run totals into a per-position
+          counts array (ops/partitioned.py -- no per-slice full-table
+          sorts; each position is sorted exactly once globally);
+  pass 2: per slice, window-min solidity from a CONTIGUOUS slice of the
+          counts array (no lookup) -> seed reduction (+ optional Bloom
+          add) -> solid owned k-mers appended into node partition
+          buffers; then dedup each partition once and lex-sort the
+          disjoint uniques into the node table;
   graph:  single-shot on the merged node table (graph arrays scale with
           the genome, not the read volume);
   pass 3: per slice, coverage/tally accumulation into [M]-sized arrays.
 
-Capacities: ``short_cap`` / ``node_cap`` bound distinct short k-mers and
-solid nodes (≈ genome size + error k-mers); overflow raises with the
-observed size so the caller can re-run with a larger bound.
+``short_cap`` / ``node_cap``: optional declared bounds on distinct short
+k-mers / solid nodes -- exceeding a positive bound raises with the
+observed size (API-compatible with the round-4 fixed-capacity
+accumulators, which REQUIRED them; the partitioned design sizes its
+buffers from exact position totals instead).  The mesh path still uses
+them as its sharded table capacities.
 """
 
 from __future__ import annotations
@@ -51,85 +59,6 @@ from platanus3_tpu.utils.logging import PipelineLog
 __all__ = ["assemble_streaming"]
 
 
-@partial(jax.jit, static_argnames=("k", "short_k", "short_cap"))
-def _count_slice(packed, valid_len, start, read_len, dst_table, ovf, *,
-                 k, short_k, short_cap):
-    bases = kmer_mod.unpack_bases(packed)
-    c, chunk_len = bases.shape
-    stride = chunk_len - k + 1
-    s_canon, s_valid, s_owned = solid_mod.short_kmer_positions(
-        bases, valid_len, start, read_len, stride, short_k, k)
-    l = s_canon.shape[-1]
-    batch_table = count_mod.count_kmers(
-        s_canon.reshape(-1, l), s_owned.reshape(-1), k=short_k)
-    merged = count_mod.merge_into(dst_table, batch_table, short_cap)
-    # Latch overflow PER MERGE: an intermediate truncation can silently
-    # drop keys whose re-entry later drifts size back under cap with
-    # corrupted counts (VERDICT r1 weak #5) -- only a per-merge check
-    # catches it, and the latch keeps the slice loop fully async.
-    return merged, ovf | (merged.size > short_cap)
-
-
-@partial(jax.jit, static_argnames=("k", "short_k", "cov_threshold",
-                                   "node_cap", "num_reads", "add_to_bloom"))
-def _solid_slice(packed, valid_len, read_id, start, read_len, short_table,
-                 node_table, min_pos, seed_fw, bf, ovf, *,
-                 k, short_k, cov_threshold, node_cap, num_reads,
-                 add_to_bloom):
-    bases = kmer_mod.unpack_bases(packed)
-    c, chunk_len = bases.shape
-    stride = chunk_len - k + 1
-    p_short = chunk_len - short_k + 1
-    pk = chunk_len - k + 1
-
-    s_canon, s_valid, _ = solid_mod.short_kmer_positions(
-        bases, valid_len, start, read_len, stride, short_k, k)
-    ls = s_canon.shape[-1]
-    per_pos = count_mod.lookup_join(
-        short_table, s_canon.reshape(-1, ls)).reshape(c, p_short)
-
-    w = k - short_k + 1
-    cov_est = window_min(per_pos, w)
-    fwk, valid_k = kmer_mod.extract_kmers(bases, valid_len, k)
-    canon_k, _ = kmer_mod.canonical(fwk, k)
-    owned_k = solid_mod.owned_mask(start, read_len, stride, pk, k, k) & valid_k
-    is_solid = (cov_est >= cov_threshold) & valid_k
-    solid_owned = is_solid & owned_k
-
-    lk = canon_k.shape[-1]
-    batch_nodes = count_mod.count_kmers(
-        canon_k.reshape(-1, lk), solid_owned.reshape(-1), k=k)
-    node_table = count_mod.merge_into(node_table, batch_nodes, node_cap)
-    ovf = ovf | (node_table.size > node_cap)  # latch per merge (see above)
-
-    if add_to_bloom:
-        bf = bloom_mod.bloom_add(bf, canon_k.reshape(-1, lk), k,
-                                 mask=solid_owned.reshape(-1))
-
-    # seed reduction (first solid position per read, forward form)
-    local = jnp.arange(pk, dtype=jnp.int32)[None, :]
-    gpos = start[:, None] + local
-    big = np.int32(2**30)
-    gpos_m = jnp.where(solid_owned, gpos, big)
-    flat_rid = jnp.broadcast_to(read_id[:, None], (c, pk)).reshape(-1)
-    batch_min = jax.ops.segment_min(gpos_m.reshape(-1), flat_rid,
-                                    num_segments=num_reads)
-    new_min = jnp.minimum(min_pos, batch_min)
-    is_first = solid_owned & (gpos == new_min[read_id][:, None])
-    rid_b = jnp.broadcast_to(read_id[:, None], (c, pk))
-    tgt = jnp.where(is_first, rid_b, num_reads).reshape(-1)
-    # per-lane 1-D scatters (see ops/solid.py: [N, L] scatter updates
-    # force a lane-padded row-major copy, 64x HBM at L=2)
-    batch_seed = jnp.stack(
-        [jnp.zeros((num_reads,), dtype=jnp.uint32).at[tgt].max(
-            fwk[..., j].reshape(-1), mode="drop") for j in range(lk)],
-        axis=-1)
-    seed_fw = jnp.where((batch_min < min_pos)[:, None] &
-                        (batch_min <= new_min)[:, None],
-                        batch_seed, seed_fw)
-    return node_table, seed_fw, new_min, bf, ovf
-
-
 @partial(jax.jit, static_argnames=("k",))
 def _cov_slice(dbg, packed, valid_len, start, read_len, prev_base,
                next_base, node_cov, jun_tally, *, k):
@@ -142,6 +71,18 @@ def _cov_slice(dbg, packed, valid_len, start, read_len, prev_base,
 def _slices(total: int, step: int):
     for lo in range(0, total, step):
         yield lo, min(lo + step, total)
+
+
+def _fetch_barrier(*arrays):
+    """True completion barrier on the tunneled TPU backend: a host fetch
+    of one element (block_until_ready only awaits dispatch there)."""
+    for a in arrays:
+        if a is None:
+            continue
+        for leaf in jax.tree.leaves(a):
+            if hasattr(leaf, "reshape") and getattr(leaf, "size", 0):
+                np.asarray(leaf.reshape(-1)[0:1])
+                break
 
 
 def _make_mesh_slice_fns(mesh, *, k, short_k, chunk_len, slice_chunks,
@@ -314,6 +255,11 @@ def assemble_streaming(source, config: AssemblyConfig,
     to the single-device streaming path."""
     log = log or PipelineLog(config.log_path, echo=False)
     t0 = time.time()
+    from platanus3_tpu.utils.profiling import StageTimer
+    timer = StageTimer()
+    # Fetch-based barrier before each mark when profiling (the natural
+    # host fetches after passes 1/2 are already true barriers).
+    bar = _fetch_barrier if config.profile_stages else (lambda *a: None)
 
     if isinstance(source, reads_mod.ReadBatch):
         batch = source
@@ -332,10 +278,15 @@ def assemble_streaming(source, config: AssemblyConfig,
     n_dev = mesh.devices.size if mesh is not None else 1
     if mesh is not None and slice_chunks % n_dev:
         slice_chunks += n_dev - slice_chunks % n_dev
-    if short_cap <= 0:
-        short_cap = _next_pow2(4 * slice_chunks * p_short)
-    if node_cap <= 0:
-        node_cap = _next_pow2(2 * slice_chunks * p_short)
+    if mesh is not None:
+        # The mesh path accumulates into fixed-capacity sharded tables
+        # and needs concrete caps; the single-device path auto-sizes its
+        # partition buffers from exact position totals, so caps there
+        # are optional declared bounds (checked, raise on excess).
+        if short_cap <= 0:
+            short_cap = _next_pow2(4 * slice_chunks * p_short)
+        if node_cap <= 0:
+            node_cap = _next_pow2(2 * slice_chunks * p_short)
 
     need_bloom = (not config.use_exact_membership) or config.build_bloom
     if need_bloom:
@@ -346,10 +297,6 @@ def assemble_streaming(source, config: AssemblyConfig,
 
     l_s = kmer_mod.num_lanes(short_k)
     l_k = kmer_mod.num_lanes(k)
-    empty = lambda cap, l: count_mod.KmerTable(
-        keys=jnp.full((cap, l), np.uint32(0xFFFFFFFF)),
-        counts=jnp.zeros((cap,), jnp.int32),
-        size=jnp.zeros((), jnp.int32))
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -448,42 +395,125 @@ def assemble_streaming(source, config: AssemblyConfig,
                   f"solid nodes")
     else:
         make_cov_fn = None
-        # ---- pass 1: global short-k count table ----
-        short_table = empty(short_cap, l_s)
+        # ---- single-device streaming: partitioned collect -> count ----
+        # (ops/partitioned.py -- NO per-slice full-table sorts; VERDICT
+        # r4 item 1.  Each position is sorted once globally; per-slice
+        # work is extraction + one slice-local sort + block appends.)
+        from platanus3_tpu.ops import partitioned as part_mod
+        parts = part_mod.NUM_PARTS
+        pk = config.chunk_len - k + 1
+        c_pad_total = -(-c_total // slice_chunks) * slice_chunks
+        total_s = c_pad_total * p_short
+        if total_s >= 2**31:
+            raise ValueError(
+                f"streaming position space {total_s} exceeds 2^31 "
+                f"(position ids are 31-bit); split the input into "
+                f"multiple batches or raise chunk_len")
+        vl = np.asarray(batch.valid_len)
+
+        # pass 1 collect: (short-kmer lanes, posid|owned) into P buffers
+        total_valid_s = int(np.clip(vl - short_k + 1, 0, p_short).sum())
+        n_slice_s = slice_chunks * p_short
+        s_blk_s, cap_s = part_mod.plan_caps(total_valid_s, n_slice_s,
+                                            parts)
+        bufs = tuple(jnp.zeros((parts * cap_s,), jnp.uint32)
+                     for _ in range(l_s + 1))
+        fills = jnp.zeros((parts,), jnp.int32)
         ovf = jnp.zeros((), bool)
         for lo, hi in _slices(c_total, slice_chunks):
             packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
-            short_table, ovf = _count_slice(packed, vlen, start, rlen,
-                                            short_table, ovf, k=k,
-                                            short_k=short_k,
-                                            short_cap=short_cap)
-        n_short = int(short_table.size)
-        if bool(ovf):
+            bufs, fills, ovf = part_mod.collect_short_slice(
+                bufs, fills, ovf, packed, vlen, start, rlen,
+                np.int32(lo * p_short), k=k, short_k=short_k,
+                parts=parts, s_blk=s_blk_s, cap_p=cap_s)
+        if bool(jax.device_get(ovf)):
             raise RuntimeError(
-                f"short_cap {short_cap} overflow during streaming merge "
-                f"(size reached > cap mid-stream; counts would be wrong); "
-                f"re-run with larger short_cap")
+                "streaming pass-1 partition-buffer overflow (hash-load "
+                "slack exceeded -- pathological composition skew); "
+                "raise the slack in ops/partitioned.plan_caps")
+        timer.mark("pass1_collect")
+
+        # pass 1 count: one sort per partition, counts scattered to the
+        # per-position array the window-min reads contiguously.
+        counts = jnp.zeros((total_s,), jnp.int32)
+        n_uni_parts = []
+        for p in range(parts):
+            counts, nu = part_mod.count_partition(
+                counts, bufs, fills, np.int32(p), short_k=short_k,
+                cap_p=cap_s)
+            n_uni_parts.append(nu)
+        n_short = int(sum(int(x) for x in jax.device_get(n_uni_parts)))
+        del bufs, fills
+        timer.mark("pass1_count")
+        if 0 < short_cap < n_short:
+            raise RuntimeError(
+                f"short_cap {short_cap} overflow: {n_short} distinct "
+                f"short k-mers observed; re-run with larger short_cap")
         log.write(f"[streaming] pass1 done: {n_short} distinct short k-mers")
 
-        # ---- pass 2: solidity, node set, seeds ----
-        node_table = empty(node_cap, l_k)
+        # pass 2 collect: contiguous counts slice -> window-min ->
+        # solid owned canonical k-mers into node partition buffers
+        # (+ seeds, + optional Bloom).
+        total_owned_k = int(np.clip(vl - k + 1, 0, pk).sum())
+        n_slice_k = slice_chunks * pk
+        s_blk_k, cap_k = part_mod.plan_caps(total_owned_k, n_slice_k,
+                                            parts)
+        bufs2 = tuple(jnp.zeros((parts * cap_k,), jnp.uint32)
+                      for _ in range(l_k))
+        fills2 = jnp.zeros((parts,), jnp.int32)
+        ovf = jnp.zeros((), bool)
         min_pos = jnp.full((batch.num_reads,), np.int32(2**30))
         seed_fw = jnp.zeros((batch.num_reads, l_k), jnp.uint32)
-        ovf = jnp.zeros((), bool)
+        bf_bits = bf.bits
         for lo, hi in _slices(c_total, slice_chunks):
             packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
-            node_table, seed_fw, min_pos, bf, ovf = _solid_slice(
-                packed, vlen, rid, start, rlen, short_table, node_table,
-                min_pos, seed_fw, bf, ovf, k=k, short_k=short_k,
-                cov_threshold=config.cov_threshold, node_cap=node_cap,
-                num_reads=batch.num_reads, add_to_bloom=need_bloom)
-        num_nodes = int(node_table.size)
-        if bool(ovf):
+            (bufs2, fills2, ovf, min_pos, seed_fw,
+             bf_bits) = part_mod.solid_collect_slice(
+                bufs2, fills2, ovf, min_pos, seed_fw, bf_bits, counts,
+                packed, vlen, rid, start, rlen, np.int32(lo * p_short),
+                k=k, short_k=short_k,
+                cov_threshold=config.cov_threshold,
+                num_reads=batch.num_reads, parts=parts, s_blk=s_blk_k,
+                cap_p=cap_k, add_bloom=need_bloom, bf_log2=bf.log2_bits,
+                bf_hashes=bf.num_hashes)
+        if bool(jax.device_get(ovf)):
             raise RuntimeError(
-                f"node_cap {node_cap} overflow during streaming merge "
-                f"(size reached > cap mid-stream); re-run with larger "
-                f"node_cap")
+                "streaming pass-2 partition-buffer overflow (hash-load "
+                "slack exceeded); raise the slack in "
+                "ops/partitioned.plan_caps")
+        timer.mark("pass2_collect")
+        bf = bf._replace(bits=bf_bits)
+        del counts
+
+        # pass 2 count: dedup each partition once; partitions are
+        # disjoint, one final sort gives the lex-sorted node table.
+        outs, n_ps = [], []
+        for p in range(parts):
+            o, n_p = part_mod.dedup_partition(bufs2, fills2, np.int32(p),
+                                              k=k, cap_p=cap_k)
+            outs.append(o)
+            n_ps.append(n_p)
+        n_ps = [int(x) for x in jax.device_get(n_ps)]
+        del bufs2, fills2
+        timer.mark("pass2_dedup")
+        n_total = sum(n_ps)
+        if 0 < node_cap < n_total:
+            raise RuntimeError(
+                f"node_cap {node_cap} overflow: {n_total} distinct solid "
+                f"nodes observed; re-run with larger node_cap")
+        dst_cap = n_total + cap_k
+        dst = tuple(jnp.full((dst_cap,), np.uint32(0xFFFFFFFF))
+                    for _ in range(l_k))
+        off = 0
+        for o, n_p in zip(outs, n_ps):
+            dst = part_mod.place_block(dst, o, np.int32(off))
+            off += n_p
+        del outs
+        node_table = part_mod.finalize_table(dst, np.int32(n_total), k=k)
+        del dst
+        num_nodes = int(node_table.size)
         has_seed = min_pos < np.int32(2**30)
+        timer.mark("pass2_table")
         log.write(f"[streaming] pass2 done: {num_nodes} solid nodes")
 
     # ---- graph (genome-sized, single shot) ----
@@ -498,12 +528,12 @@ def assemble_streaming(source, config: AssemblyConfig,
     # Release the read-volume-sized accumulators before the graph stage --
     # the short table + node table caps are HBM the neighbor joins need.
     del node_table
-    if mesh is None:
-        del short_table
-    else:
+    if mesh is not None:
         del skeys, scounts, nkeys, ncounts
     dbg = run_stage2(nodes, jnp.asarray(num_nodes, jnp.int32), bf, k=k,
                      use_exact=config.use_exact_membership)
+    bar(dbg)
+    timer.mark("graph")
     log.write("[streaming] graph built")
 
     # ---- pass 3: coverage accumulation ----
@@ -532,6 +562,8 @@ def assemble_streaming(source, config: AssemblyConfig,
                                       jun_tally=jun_tally)
 
     cov = accumulate_coverage(dbg)
+    bar(cov)
+    timer.mark("coverage")
 
     # ---- simplification rounds (tips / bubbles), streaming variant ----
     # Decisions run host-side on genome-sized graph arrays; each round's
@@ -559,8 +591,12 @@ def assemble_streaming(source, config: AssemblyConfig,
                       f"{n_drop} unitigs, {n_keep} nodes left")
         num_nodes = int(dbg.size)
 
+    bar(cov)
+    timer.mark("simplify")
     reach_jun, reach_uni = reach_mod.reachable(dbg, seed_fw, has_seed, k)
     chars = seq_mod.member_chars(dbg, k)
+    bar((reach_jun, chars))
+    timer.mark("reach_chars")
     if not config.restrict_to_seeds:
         reach_jun = jnp.ones_like(reach_jun)
         reach_uni = jnp.ones_like(reach_uni)
@@ -572,6 +608,7 @@ def assemble_streaming(source, config: AssemblyConfig,
     if write_output:
         with open(config.gfa_path, "w") as f:
             f.write("\n".join(lines) + "\n")
+    timer.mark("emit")
     n_s = sum(1 for ln in lines if ln.startswith("S\tStraight"))
     n_j = sum(1 for ln in lines if ln.startswith("S\tJunction"))
     log.write(f"[streaming] finish ({time.time() - t0:.2f}s, {n_s} "
@@ -582,4 +619,5 @@ def assemble_streaming(source, config: AssemblyConfig,
         num_junctions=n_j, num_straights=n_s,
         stats={"elapsed_s": time.time() - t0,
                "all_bases": batch.all_bases,
-               "num_reads": batch.num_reads, "solid_nodes": num_nodes})
+               "num_reads": batch.num_reads, "solid_nodes": num_nodes,
+               "stages": dict(timer.spans)})
