@@ -58,13 +58,48 @@ def _edge_targets(dbg: DBG):
     return jnp.concatenate(cols)
 
 
+# Staged flood (chromosome scale): like graph/build's staged pointer
+# doubling, the tunneled TPU worker kills any single execution past
+# ~30-60 s.  A flood round over chr21's 377M edge slots is ~1-2 s, and a
+# repeat-tangled chromosome graph can have a contracted diameter in the
+# hundreds -- an unbounded in-program while_loop would be killed.  Above
+# the threshold the flood runs as a host loop of batched jitted rounds
+# (post-fixpoint rounds are identities, so batching cannot change the
+# result).
+_REACH_STAGED_THRESHOLD = 1 << 23
+_REACH_ROUNDS_PER_EXEC = 4
+
+
+def _flood_round(reach, e_ok, e_src, e_tgt_c):
+    nv = reach.shape[0]
+    new = reach
+    fwd = e_ok & chunked_gather(reach, e_src)
+    new = chunked_scatter_set(new, jnp.where(fwd, e_tgt_c, nv), True)
+    back = e_ok & chunked_gather(new, e_tgt_c)
+    new = chunked_scatter_set(new, jnp.where(back, e_src, nv), True)
+    return new
+
+
+@jax.jit
+def _staged_flood_rounds(reach, e_ok, e_src, e_tgt_c):
+    for _ in range(_REACH_ROUNDS_PER_EXEC):
+        new = _flood_round(reach, e_ok, e_src, e_tgt_c)
+        changed = jnp.any(new != reach)
+        reach = new
+    return reach, changed
+
+
 def reachable(dbg: DBG, seed_fw: jnp.ndarray, has_seed: jnp.ndarray, k: int,
-              max_rounds: int = 0):
+              max_rounds: int = 0, staged: bool = False):
     """-> (reach_junction [M] bool, reach_unitig [2M] bool).
 
     ``seed_fw [R, L]``: per-read seed k-mers in forward orientation
     (``src/MakeBloomFilter.cpp:79-83``); flood starts from the vertices
     containing them.
+
+    ``staged=True`` (eager callers only): host-looped batched flood
+    rounds, one short execution each -- REQUIRED at chromosome scale
+    (see ``_REACH_STAGED_THRESHOLD``); results identical.
     """
     m, l = dbg.nodes.shape
     nv = 3 * m  # m junction slots + 2m unitig slots
@@ -90,24 +125,27 @@ def reachable(dbg: DBG, seed_fw: jnp.ndarray, has_seed: jnp.ndarray, k: int,
     e_ok = e_tgt >= 0
     e_tgt_c = jnp.clip(e_tgt, 0, nv - 1)
 
-    def body(state):
-        # Loop-body gathers/scatters over [8M] edge arrays (377M rows at
-        # chr21 scale) must be chunked -- see build.chunked_gather.
-        reach, _ = state
-        new = reach
-        # junction -> neighbor
-        fwd = e_ok & chunked_gather(reach, e_src)
-        new = chunked_scatter_set(new, jnp.where(fwd, e_tgt_c, nv), True)
-        # neighbor -> junction
-        back = e_ok & chunked_gather(new, e_tgt_c)
-        new = chunked_scatter_set(new, jnp.where(back, e_src, nv), True)
-        changed = jnp.any(new != reach)
-        return new, changed
+    if staged:
+        while True:
+            reach, changed = _staged_flood_rounds(reach, e_ok, e_src,
+                                                  e_tgt_c)
+            if not bool(changed):
+                break
+    else:
+        def body(state):
+            # Loop-body gathers/scatters over [8M] edge arrays (377M
+            # rows at chr21 scale) must be chunked -- see
+            # build.chunked_gather.
+            reach, _ = state
+            new = _flood_round(reach, e_ok, e_src, e_tgt_c)
+            changed = jnp.any(new != reach)
+            return new, changed
 
-    def cond(state):
-        return state[1]
+        def cond(state):
+            return state[1]
 
-    reach, _ = jax.lax.while_loop(cond, lambda s: body(s), (reach, True))
+        reach, _ = jax.lax.while_loop(cond, lambda s: body(s),
+                                      (reach, True))
     reach_junction = reach[:m] & dbg.is_junction_final
     reach_unitig = reach[m:]
     return reach_junction, reach_unitig

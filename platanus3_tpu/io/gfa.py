@@ -69,7 +69,10 @@ def gfa_lines(jun_pack, seq_pack, reach_uni, num_unitigs: int, m: int,
     node_id = np.asarray(jun_pack.node_id)
     jvalid = node_id < m
     jun_rows = np.nonzero(jvalid)[0]
-    jun_gfa = {int(node_id[r]): i + 1 for i, r in enumerate(jun_rows)}
+    # node id -> 1-based junction GFA id, as an array (a dict would cost
+    # a Python op per link candidate -- millions on repeat-rich graphs).
+    jun_gfa_arr = np.zeros(m + 1, dtype=np.int64)
+    jun_gfa_arr[node_id[jun_rows]] = np.arange(1, len(jun_rows) + 1)
 
     lines = ["H\tVN:Z:1.0"]
 
@@ -84,43 +87,43 @@ def gfa_lines(jun_pack, seq_pack, reach_uni, num_unitigs: int, m: int,
         lines.append(
             f"S\tJunction_{i + 1}\t{s}\tKC:i:{int(cov[r]) * k}")
 
-    tally = np.asarray(jun_pack.tally)
-    nbr_id = np.asarray(jun_pack.nbr_id)
-    nbr_present = np.asarray(jun_pack.nbr_present)
-    nbr_isfw = np.asarray(jun_pack.nbr_isfw)
-    nbr_isjun = np.asarray(jun_pack.nbr_isjun)
-    nbr_juid = np.asarray(jun_pack.nbr_joint_uid)
-    nbr_jfw = np.asarray(jun_pack.nbr_joint_fw)
+    tally = np.asarray(jun_pack.tally)[jun_rows]           # [J, 8]
+    nbr_id = np.asarray(jun_pack.nbr_id)[jun_rows]
+    nbr_present = np.asarray(jun_pack.nbr_present)[jun_rows]
+    nbr_isfw = np.asarray(jun_pack.nbr_isfw)[jun_rows]
+    nbr_isjun = np.asarray(jun_pack.nbr_isjun)[jun_rows]
+    nbr_juid = np.asarray(jun_pack.nbr_joint_uid)[jun_rows]
+    nbr_jfw = np.asarray(jun_pack.nbr_joint_fw)[jun_rows]
 
     ov = f"{k - 1}M"
-    for i, r in enumerate(jun_rows):
+    # Vectorized link gating (the python per-(junction, direction) loop
+    # was O(8J) interpreter work -- minutes at chromosome-scale junction
+    # counts); only actually-emitted links reach the string loop.
+    nid_c = np.clip(nbr_id, 0, m)
+    cand = (tally != 0) & nbr_present & (nbr_id >= 0)
+    juid_c = np.clip(nbr_juid, 0, max(num_unitigs - 1, 0))
+    uok = ((nbr_juid >= 0) & (nbr_juid < num_unitigs)
+           & (uni_gfa[juid_c] > 0)) if num_unitigs else np.zeros_like(cand)
+    jok = jun_gfa_arr[nid_c] > 0
+    emit_l = cand & np.where(nbr_isjun, jok, uok)
+    rr, dd = np.nonzero(emit_l)
+    isj = nbr_isjun[rr, dd]
+    gid = np.where(isj, jun_gfa_arr[nid_c[rr, dd]],
+                   uni_gfa[juid_c[rr, dd]])
+    sign_fw = np.where(isj, nbr_isfw[rr, dd], nbr_jfw[rr, dd])
+    for i, d, j_, g, fw in zip(rr.tolist(), dd.tolist(), isj.tolist(),
+                               gid.tolist(), sign_fw.tolist()):
         me = f"Junction_{i + 1}"
-        for d in range(8):
-            if tally[r, d] == 0 or not nbr_present[r, d]:
-                continue
-            nid = nbr_id[r, d]
-            if nid < 0:
-                continue
-            if nbr_isjun[r, d]:
-                gid = jun_gfa.get(int(nid))
-                if gid is None:
-                    continue
-                name = f"Junction_{gid}"
-                # Junctions are stored canonically: '+' iff the queried
-                # neighbor form is canonical.
-                sign = "+" if nbr_isfw[r, d] else "-"
-            else:
-                juid = nbr_juid[r, d]
-                if juid < 0 or juid >= num_unitigs or uni_gfa[juid] < 0:
-                    continue
-                name = f"Straight_{uni_gfa[juid]}"
-                # Straights are stored in their kept-walk orientation:
-                # '+' iff the queried neighbor state is on that walk.
-                sign = "+" if nbr_jfw[r, d] else "-"
-            if d < 4:   # left direction: neighbor -> junction
-                lines.append(f"L\t{name}\t{sign}\t{me}\t+\t{ov}")
-            else:       # right direction: junction -> neighbor
-                lines.append(f"L\t{me}\t+\t{name}\t{sign}\t{ov}")
+        name = (f"Junction_{g}" if j_ else f"Straight_{g}")
+        # Junctions are stored canonically: '+' iff the queried neighbor
+        # form is canonical.  Straights are stored in their kept-walk
+        # orientation: '+' iff the queried neighbor state is on that
+        # walk.
+        sign = "+" if fw else "-"
+        if d < 4:   # left direction: neighbor -> junction
+            lines.append(f"L\t{name}\t{sign}\t{me}\t+\t{ov}")
+        else:       # right direction: junction -> neighbor
+            lines.append(f"L\t{me}\t+\t{name}\t{sign}\t{ov}")
 
     for u in uni_nodes:
         if circular[u]:

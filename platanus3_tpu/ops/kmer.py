@@ -87,22 +87,28 @@ def encode_kmers_np(strings) -> np.ndarray:
     return out
 
 
+_DECODE_ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
 def decode_kmers_np(kmers: np.ndarray, k: int):
     """Decode ``[N, L] uint32`` back to strings (``GetStringKmer``,
-    reference ``src/BitCalc.cpp:56-65``)."""
+    reference ``src/BitCalc.cpp:56-65``).
+
+    Vectorized: base ``i`` lives at bit offset ``q = 2*(k-1-i)`` of the
+    low-aligned multiword, i.e. lane ``L-1 - q//32`` shifted by ``q%32``
+    -- one fancy-indexed shift builds the whole ``[N, k]`` code matrix
+    (the per-row Python bignum loop was the emission hot spot at
+    millions of junctions, VERDICT r4 item 7)."""
     kmers = np.asarray(kmers, dtype=np.uint32)
     if kmers.ndim == 1:
         kmers = kmers[None, :]
-    out = []
-    for row in kmers:
-        v = 0
-        for lane in row:
-            v = (v << 32) | int(lane)
-        s = []
-        for i in range(k):
-            s.append(BIT_TO_BASE[(v >> (2 * (k - 1 - i))) & 3])
-        out.append("".join(s))
-    return out
+    n, l = kmers.shape
+    q = 2 * (k - 1 - np.arange(k))
+    lane = l - 1 - q // 32
+    shift = (q % 32).astype(np.uint32)
+    codes = (kmers[:, lane] >> shift[None, :]) & np.uint32(3)
+    chars = _DECODE_ASCII[codes]
+    return [row.tobytes().decode() for row in chars]
 
 
 # ---------------------------------------------------------------------------

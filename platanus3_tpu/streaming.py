@@ -60,6 +60,18 @@ __all__ = ["assemble_streaming"]
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _reach_chars_jit(dbg, seed_fw, has_seed, *, k):
+    """One jitted program for seed reachability + member chars: the
+    eager per-op dispatch through the tunneled backend costs seconds at
+    millions of nodes (measured: 5.6 s eager vs sub-second jitted at 5M
+    nodes).  Chromosome-scale graphs instead run the STAGED flood (an
+    unbounded in-program while_loop would hit the worker watchdog on
+    repeat-tangled diameters; see reach._REACH_STAGED_THRESHOLD)."""
+    rj, ru = reach_mod.reachable(dbg, seed_fw, has_seed, k)
+    return rj, ru, seq_mod.member_chars(dbg, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
 def _cov_slice(dbg, packed, valid_len, start, read_len, prev_base,
                next_base, node_cov, jun_tally, *, k):
     bases = kmer_mod.unpack_bases(packed)
@@ -593,8 +605,13 @@ def assemble_streaming(source, config: AssemblyConfig,
 
     bar(cov)
     timer.mark("simplify")
-    reach_jun, reach_uni = reach_mod.reachable(dbg, seed_fw, has_seed, k)
-    chars = seq_mod.member_chars(dbg, k)
+    if dbg.nodes.shape[0] > reach_mod._REACH_STAGED_THRESHOLD:
+        reach_jun, reach_uni = reach_mod.reachable(dbg, seed_fw, has_seed,
+                                                   k, staged=True)
+        chars = seq_mod.member_chars(dbg, k)
+    else:
+        reach_jun, reach_uni, chars = _reach_chars_jit(dbg, seed_fw,
+                                                       has_seed, k=k)
     bar((reach_jun, chars))
     timer.mark("reach_chars")
     if not config.restrict_to_seeds:
