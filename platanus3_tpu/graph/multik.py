@@ -27,12 +27,24 @@ __all__ = ["assemble_multik"]
 
 
 def assemble_multik(source, config: AssemblyConfig, log=None, mesh=None,
-                    write_output: bool = True) -> AssemblyResult:
+                    write_output: bool = True, streaming: bool = False,
+                    slice_chunks: int = 2048) -> AssemblyResult:
+    """Iterate assembly over ``config.k_list``, re-seeding each round
+    with the previous round's unitigs via ``extra_solid``.
+
+    ``streaming=True`` runs every round through the bounded-memory
+    streaming pipeline (VERDICT r4 item 4) -- multi-k at read volumes the
+    single-shot pipeline cannot hold in HBM; results at any given k are
+    byte-identical between the two executors (tests/test_simplify_multik).
+    """
     ks = tuple(config.k_list) or (config.k,)
     if isinstance(source, (list, tuple)):
         reads = list(source)
     else:
         reads = reads_mod.parse_reads(source)
+
+    if streaming:
+        from platanus3_tpu.streaming import assemble_streaming
 
     res = None
     for i, k in enumerate(ks):
@@ -41,9 +53,15 @@ def assemble_multik(source, config: AssemblyConfig, log=None, mesh=None,
         if res is not None:
             extra = [s for s in res.straight_seqs if len(s) >= k]
         last = i == len(ks) - 1
-        res = assemble(reads, cfg_k, log=log, mesh=mesh,
-                       write_output=write_output and last,
-                       extra_solid=extra or None)
+        if streaming:
+            res = assemble_streaming(reads, cfg_k, log=log, mesh=mesh,
+                                     write_output=write_output and last,
+                                     slice_chunks=slice_chunks,
+                                     extra_solid=extra or None)
+        else:
+            res = assemble(reads, cfg_k, log=log, mesh=mesh,
+                           write_output=write_output and last,
+                           extra_solid=extra or None)
         if log:
             log.write(f"multi-k round k={k}: {res.num_straights} straights, "
                       f"{res.num_junctions} junctions")

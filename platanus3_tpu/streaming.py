@@ -253,11 +253,25 @@ def assemble_streaming(source, config: AssemblyConfig,
                        write_output: bool = True,
                        short_cap: int = 0, node_cap: int = 0,
                        slice_chunks: int = 2048,
-                       mesh=None) -> AssemblyResult:
+                       mesh=None, extra_solid=None) -> AssemblyResult:
     """Bounded-memory assembly.  ``slice_chunks`` chunks are resident per
-    device step; ``short_cap``/``node_cap`` default to 4x/2x the slice
-    position count (suitable when the genome is smaller than the read
-    volume -- pass explicit caps for high-coverage data).
+    device step; ``short_cap``/``node_cap`` are optional declared bounds
+    (exceeding one raises; the mesh path uses them as its sharded table
+    capacities and defaults them to 4x/2x the slice position count).
+
+    ``extra_solid``: sequences whose k-mers join the node set
+    unconditionally (multi-k re-seeding, graph/multik.py) -- merged into
+    the node table after pass 2, exactly like the single-shot pipeline's
+    hook, so multi-k now composes with streaming (VERDICT r4 item 4).
+
+    ``config.checkpoint_dir``: enables stage checkpoints -- "spass2"
+    (node table + seeds + optional Bloom bits, saved after pass 2; a
+    resume skips both streaming passes) and "stage3" (post-simplify
+    graph + coverage + reachability, saved below 2^23 nodes -- above
+    that the multi-GB download through the device tunnel costs more
+    than the graph rebuild it would save, so it is skipped with a log
+    line).  Crash/resume is exercised by the P3_FAULT_AFTER hook like
+    the single-shot pipeline (utils/checkpoint.py).
 
     ``mesh``: optional ``jax.sharding.Mesh`` with axis 'd' -- each slice
     is processed data-parallel across the mesh with the accumulated count
@@ -310,6 +324,29 @@ def assemble_streaming(source, config: AssemblyConfig,
     l_s = kmer_mod.num_lanes(short_k)
     l_k = kmer_mod.num_lanes(k)
 
+    ckpt = None
+    if config.checkpoint_dir:
+        from platanus3_tpu.pipeline import hashlib_digest
+        from platanus3_tpu.utils.checkpoint import Checkpointer
+        ckpt = Checkpointer(
+            config.checkpoint_dir,
+            # "fmt=2" versions the array layouts (ADVICE r4); the
+            # "streaming" token keeps these stages apart from the
+            # single-shot pipeline's (same results, different formats).
+            # slice_chunks is EXCLUDED: results are slice-invariant.
+            digest_parts=("fmt=2", "streaming",
+                          config.k, config.short_k, config.cov_threshold,
+                          config.filter_policy, config.filter_bits,
+                          config.chunk_len, need_bloom, batch.num_reads,
+                          batch.all_bases, config.use_exact_membership,
+                          config.clip_tips, config.pop_bubbles,
+                          config.simplify_rounds, config.tip_max_len,
+                          config.tip_cov_ratio, config.bubble_len_ratio,
+                          hashlib_digest(batch.packed),
+                          hashlib_digest(np.frombuffer(
+                              "\n".join(extra_solid).encode(), np.uint8))
+                          if extra_solid else ""))
+
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         from platanus3_tpu.parallel.sharded import to_global
@@ -340,7 +377,37 @@ def assemble_streaming(source, config: AssemblyConfig,
         if sync_each_slice:
             jax.block_until_ready(x)
 
-    if mesh is not None:
+    restored3 = ckpt is not None and ckpt.has("stage3")
+    restored2 = (not restored3 and ckpt is not None
+                 and ckpt.has("spass2"))
+    make_cov_fn = None
+    if restored3:
+        node_table = None
+        num_nodes = 0
+        min_pos = seed_fw = has_seed = None
+        log.write("[streaming] stage3 checkpoint found (skip to emission)")
+    elif restored2:
+        d = ckpt.load("spass2")
+        node_table = count_mod.KmerTable(
+            keys=jnp.asarray(d["keys"]),
+            counts=jnp.zeros((d["keys"].shape[0],), jnp.int32),
+            size=jnp.asarray(d["size"]))
+        num_nodes = int(node_table.size)
+        min_pos = jnp.asarray(d["min_pos"])
+        seed_fw = jnp.asarray(d["seed_fw"])
+        has_seed = jnp.asarray(d["has_seed"])
+        if need_bloom:
+            bf = bf._replace(bits=jnp.asarray(d["bf_bits"]))
+        if mesh is not None:
+            _, _, make_cov_fn = _make_mesh_slice_fns(
+                mesh, k=k, short_k=short_k, chunk_len=config.chunk_len,
+                slice_chunks=slice_chunks, num_reads=batch.num_reads,
+                short_shard_cap=-(-short_cap // n_dev),
+                node_shard_cap=-(-node_cap // n_dev),
+                add_to_bloom=need_bloom, bf_log2=bf.log2_bits,
+                bf_hashes=bf.num_hashes)
+        log.write("[streaming] passes 1+2 restored from checkpoint")
+    elif mesh is not None:
         # ---- mesh passes 1+2: hash-prefix-sharded accumulators ----
         sscap = -(-short_cap // n_dev)
         nscap = -(-node_cap // n_dev)
@@ -406,7 +473,6 @@ def assemble_streaming(source, config: AssemblyConfig,
         log.write(f"[streaming] pass2 done (mesh {n_dev}): {num_nodes} "
                   f"solid nodes")
     else:
-        make_cov_fn = None
         # ---- single-device streaming: partitioned collect -> count ----
         # (ops/partitioned.py -- NO per-slice full-table sorts; VERDICT
         # r4 item 1.  Each position is sorted once globally; per-slice
@@ -528,6 +594,41 @@ def assemble_streaming(source, config: AssemblyConfig,
         timer.mark("pass2_table")
         log.write(f"[streaming] pass2 done: {num_nodes} solid nodes")
 
+    if extra_solid and not restored2 and not restored3:
+        # Multi-k re-seeding hook: prior-round unitigs' k-mers become
+        # nodes unconditionally (pipeline._extra_solid_table contract).
+        from platanus3_tpu.pipeline import _extra_solid_table
+        etab, eseed = _extra_solid_table(extra_solid, config)
+        node_table = count_mod.merge_tables(node_table, etab)
+        num_nodes = int(node_table.size)
+        seed_fw = jnp.concatenate([seed_fw, eseed], axis=0)
+        has_seed = jnp.concatenate(
+            [has_seed, jnp.ones((eseed.shape[0],), bool)])
+        log.write(f"[streaming] extra-solid merge: {len(extra_solid)} seqs")
+
+    if ckpt is not None and not restored2 and not restored3:
+        n_keep = max(num_nodes, 1)
+        extra_arrays = ({"bf_bits": np.asarray(bf.bits)}
+                        if need_bloom else {})
+        ckpt.save("spass2",
+                  keys=np.asarray(node_table.keys[:n_keep]),
+                  size=np.asarray(jnp.asarray(num_nodes, jnp.int32)),
+                  min_pos=np.asarray(min_pos),
+                  seed_fw=np.asarray(seed_fw),
+                  has_seed=np.asarray(has_seed), **extra_arrays)
+        log.write("[streaming] pass1+2 checkpoint saved")
+
+    if restored3:
+        from platanus3_tpu.pipeline import _load_stage3
+        dbg, cov, reach_jun, reach_uni, chars = _load_stage3(ckpt)
+        num_nodes = int(dbg.size)
+        timer.mark("restore")
+        log.write("[streaming] stage3 restored from checkpoint")
+        # accumulate_coverage unused on this path (graph+coverage loaded)
+        return _finish_streaming(
+            config, log, timer, t0, batch, write_output, dbg, cov,
+            reach_jun, reach_uni, chars, k, num_nodes)
+
     # ---- graph (genome-sized, single shot) ----
     cap = _graph_cap(num_nodes)
     rows = node_table.keys.shape[0]
@@ -614,6 +715,29 @@ def assemble_streaming(source, config: AssemblyConfig,
                                                        has_seed, k=k)
     bar((reach_jun, chars))
     timer.mark("reach_chars")
+
+    if ckpt is not None:
+        m_cap = dbg.nodes.shape[0]
+        if m_cap <= (1 << 23):
+            from platanus3_tpu.pipeline import _save_stage3
+            _save_stage3(ckpt, dbg, cov, reach_jun, reach_uni, chars)
+            log.write("[streaming] stage3 checkpoint saved")
+        else:
+            log.write(f"[streaming] stage3 checkpoint skipped (graph cap "
+                      f"{m_cap}: the multi-GB state download through the "
+                      f"device tunnel costs more than the deterministic "
+                      f"graph rebuild a resume would pay)")
+
+    return _finish_streaming(config, log, timer, t0, batch, write_output,
+                             dbg, cov, reach_jun, reach_uni, chars, k,
+                             num_nodes)
+
+
+def _finish_streaming(config, log, timer, t0, batch, write_output, dbg,
+                      cov, reach_jun, reach_uni, chars, k, num_nodes):
+    """Shared tail: seed-restriction override, device emission packs,
+    host GFA rendering, result assembly (also the stage3-resume entry
+    point)."""
     if not config.restrict_to_seeds:
         reach_jun = jnp.ones_like(reach_jun)
         reach_uni = jnp.ones_like(reach_uni)

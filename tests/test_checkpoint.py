@@ -119,3 +119,105 @@ def test_fault_injection_crash_resume(tmp_path):
     r2 = run()
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert crashed_then_resumed == r2.stdout
+
+
+def test_streaming_checkpoint_roundtrip(tmp_path):
+    """VERDICT r4 item 3: the streaming pipeline checkpoints pass 1+2
+    (spass2) and the post-graph state (stage3); resumes skip the passes
+    and produce identical GFA."""
+    import platanus3_tpu.ops.partitioned as part_mod
+    from platanus3_tpu.streaming import assemble_streaming
+
+    genome = "".join(RNG.choice(list(BASES), size=2500))
+    reads = [genome[s : s + 300] for s in range(0, 2201, 50)]
+    cfg = AssemblyConfig(k=25, chunk_len=256, log_path=None,
+                         checkpoint_dir=str(tmp_path))
+    r1 = assemble_streaming(reads, cfg, write_output=False,
+                            slice_chunks=8)
+    digest_dirs = [d for d in tmp_path.iterdir() if d.is_dir()]
+    assert len(digest_dirs) == 1
+    files = {p.name for p in digest_dirs[0].iterdir()}
+    assert {"spass2.npz", "stage3.npz"} <= files
+
+    # Full resume must not run either streaming pass (collect would
+    # blow up if invoked).
+    import pytest
+    orig = part_mod.collect_short_slice
+
+    def boom(*a, **kw):
+        raise AssertionError("streaming pass re-ran despite checkpoint")
+
+    part_mod.collect_short_slice = boom
+    try:
+        r2 = assemble_streaming(reads, cfg, write_output=False,
+                                slice_chunks=8)
+    finally:
+        part_mod.collect_short_slice = orig
+    assert r1.gfa_lines == r2.gfa_lines
+
+    # Drop stage3: resume from spass2 must rebuild graph+coverage only.
+    (digest_dirs[0] / "stage3.npz").unlink()
+    part_mod.collect_short_slice = boom
+    try:
+        r3 = assemble_streaming(reads, cfg, write_output=False,
+                                slice_chunks=8)
+    finally:
+        part_mod.collect_short_slice = orig
+    assert r1.gfa_lines == r3.gfa_lines
+    # Streaming and single-shot must agree end to end.
+    shot = assemble(reads, AssemblyConfig(k=25, chunk_len=256,
+                                          log_path=None),
+                    write_output=False)
+    assert shot.gfa_lines == r1.gfa_lines
+
+
+_STREAM_FAULT_WORKER = """
+import os, sys
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from platanus3_tpu.config import AssemblyConfig
+from platanus3_tpu.constants import BASES
+from platanus3_tpu.streaming import assemble_streaming
+rng = np.random.default_rng(59)
+genome = "".join(rng.choice(list(BASES), size=2000))
+reads = [genome[s:s + 250] for s in range(0, 1751, 50)]
+cfg = AssemblyConfig(k=25, chunk_len=256, log_path=None,
+                     checkpoint_dir=sys.argv[1])
+res = assemble_streaming(reads, cfg, write_output=False, slice_chunks=8)
+sys.stdout.write("\\n".join(res.gfa_lines))
+"""
+
+
+def test_streaming_fault_injection_crash_resume(tmp_path):
+    """Kill the process right after the spass2 checkpoint lands (the
+    VERDICT r4 'die mid-run, resume, identical GFA' demand for the
+    streaming path); the restart must resume past passes 1+2 and match
+    a never-crashed run byte for byte."""
+    env = dict(os.environ)
+    env.pop("P3_FAULT_AFTER", None)
+
+    def run(fault=None):
+        e = dict(env)
+        if fault:
+            e["P3_FAULT_AFTER"] = fault
+        return subprocess.run(
+            [sys.executable, "-c", _STREAM_FAULT_WORKER, str(tmp_path)],
+            capture_output=True, text=True, env=e, timeout=900)
+
+    r = run(fault="spass2")
+    assert r.returncode == 137, r.stderr[-2000:]
+    assert (set(p.name for d in tmp_path.iterdir() if d.is_dir()
+                for p in d.iterdir()) >= {"spass2.npz"})
+
+    r = run()
+    assert r.returncode == 0, r.stderr[-2000:]
+    crashed_then_resumed = r.stdout
+
+    import shutil
+    for d in tmp_path.iterdir():
+        shutil.rmtree(d)
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert crashed_then_resumed == r2.stdout

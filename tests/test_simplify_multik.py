@@ -162,3 +162,24 @@ def test_cli_usage_without_input(capsys):
     from platanus3_tpu.cli import main
     assert main([]) == 0
     assert "Usage" in capsys.readouterr().out
+
+
+def test_multik_streaming_equals_single_shot():
+    """VERDICT r4 item 4: multi-k through the STREAMING executor must
+    reproduce single-shot multi-k byte for byte (the capability that
+    lets config 4 run at read volumes HBM cannot hold)."""
+    from platanus3_tpu import sim
+    from platanus3_tpu.config import AssemblyConfig
+    from platanus3_tpu.graph.multik import assemble_multik
+
+    genome = sim.random_genome(4000, seed=71)
+    reads = sim.simulate_reads(genome, coverage=18, read_len=400,
+                               seed=72, sub_rate=0.003)
+    cfg = AssemblyConfig(k=32, k_list=(32, 48), cov_threshold=3,
+                         chunk_len=256, log_path=None,
+                         gfa_path="/tmp/mk_stream.gfa")
+    a = assemble_multik(reads, cfg, write_output=False)
+    b = assemble_multik(reads, cfg, write_output=False, streaming=True,
+                        slice_chunks=16)
+    assert a.gfa_lines == b.gfa_lines
+    assert a.num_straights == b.num_straights
