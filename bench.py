@@ -106,7 +106,8 @@ def main():
         table, _nid = count_mod.count_solid_with_ids(
             result.canon.reshape(-1, l),
             result.owned.reshape(-1),
-            (result.is_solid & result.owned).reshape(-1), k=k)
+            (result.is_solid & result.owned).reshape(-1), k=k,
+            want_counts=False)  # mirrors pipeline._stage1
         return table.size, table.keys
 
     # count+Bloom variant (VERDICT r2 item 4 -- metric continuity with

@@ -38,6 +38,16 @@ def main():
     ap.add_argument("--short-cap-log2", type=int, default=27)
     ap.add_argument("--node-cap-log2", type=int, default=27)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--realistic", action="store_true",
+                    help="chr21-like composition instead of uniform "
+                         "random: GC skew, homopolymer + tandem tracts, "
+                         "plus TWO dispersed repeat families (the 200 kb "
+                         "dryrun recipe scaled to genome size; ~45%% of "
+                         "the genome becomes repeat sequence, like a "
+                         "real chr21)")
+    ap.add_argument("--clip-tips", action="store_true")
+    ap.add_argument("--pop-bubbles", action="store_true")
+    ap.add_argument("--checkpoint-dir", type=str, default="")
     ap.add_argument("--mesh", action="store_true",
                     help="shard each slice + the count/node tables over "
                          "all visible devices (config 5's multi-device "
@@ -55,7 +65,17 @@ def main():
 
     glen = int(args.genome_mb * 1e6)
     t0 = time.time()
-    genome = sim.random_genome(glen, seed=args.seed)
+    if args.realistic:
+        # __graft_entry__.dryrun recipe scaled: realistic composition +
+        # two dispersed repeat families at the dryrun's per-base density
+        # (700 x 80 bp + 500 x 75 bp per 200 kb).
+        genome = sim.realistic_genome(glen, seed=args.seed + 1, gc=0.58)
+        genome = sim.plant_repeats(genome, 80, int(700 * glen / 200_000),
+                                   seed=args.seed + 2)
+        genome = sim.plant_repeats(genome, 75, int(500 * glen / 200_000),
+                                   seed=args.seed + 3, min_gap=120)
+    else:
+        genome = sim.random_genome(glen, seed=args.seed)
     reads = sim.simulate_reads(genome, coverage=args.coverage,
                                read_len=args.read_len, seed=args.seed + 1,
                                sub_rate=args.sub)
@@ -67,6 +87,10 @@ def main():
 
     cfg = AssemblyConfig(k=args.k, cov_threshold=args.cov_threshold,
                          chunk_len=args.chunk_len, log_path=None,
+                         clip_tips=args.clip_tips,
+                         pop_bubbles=args.pop_bubbles,
+                         checkpoint_dir=args.checkpoint_dir,
+                         profile_stages=True,
                          gfa_path="/tmp/chr21_stream.gfa")
     mesh = None
     if args.mesh:
@@ -86,6 +110,11 @@ def main():
     lens = [len(s) for s in res.straight_seqs if s]
     mem = jax.local_devices()[0].memory_stats() or {}
     out = {
+        "realistic": bool(args.realistic),
+        "clip_tips": bool(args.clip_tips),
+        "pop_bubbles": bool(args.pop_bubbles),
+        "stages_s": {kk: round(v, 1)
+                     for kk, v in res.stats.get("stages", {}).items()},
         "peak_hbm_gib": round(mem.get("peak_bytes_in_use", 0) / 2**30, 2),
         "hbm_limit_gib": round(mem.get("bytes_limit", 0) / 2**30, 2),
         "config": "baseline-5-chr21-stream",

@@ -159,7 +159,8 @@ def count_kmers(kmers: jnp.ndarray, valid: jnp.ndarray,
 
 
 def _scan_count(kmers, valid, contributes, k, include_zero: bool,
-                want_nid: bool, want_table: bool = True):
+                want_nid: bool, want_table: bool = True,
+                want_counts: bool = True):
     """Sort+scan core shared by the counting entry points.
 
     One non-stable forward sort (keys = lanes with the invalid flag folded
@@ -206,16 +207,22 @@ def _scan_count(kmers, valid, contributes, k, include_zero: bool,
 
     if not want_table:
         return None, per_pos
-    # Table compaction: rank as key, lanes + count as payloads.
+    # Table compaction: rank as key, lanes (+ count) as payloads.
+    # ``want_counts=False`` drops the count operand from this sort --
+    # the production node table's counts are never read (coverage is a
+    # separate pass), and one fewer 4N-byte sort operand is ~10% of the
+    # whole stage-1 wall at bench shapes (tools/stage1_profile.py).
     ckey = jnp.where(tab_first, tab_rank.astype(jnp.uint32),
                      np.uint32(0xFFFFFFFF))
-    cout = jax.lax.sort(
-        (ckey,) + tuple(s_kmers[:, j] for j in range(l)) + (run_total,),
-        num_keys=1, is_stable=False)
+    cops = (ckey,) + tuple(s_kmers[:, j] for j in range(l))
+    if want_counts:
+        cops = cops + (run_total,)
+    cout = jax.lax.sort(cops, num_keys=1, is_stable=False)
     in_range = jnp.arange(n) < size
     keys = jnp.where(in_range[:, None], jnp.stack(cout[1 : 1 + l], axis=-1),
                      np.uint32(0xFFFFFFFF))
-    counts = jnp.where(in_range, cout[1 + l], 0)
+    counts = (jnp.where(in_range, cout[1 + l], 0) if want_counts
+              else jnp.zeros((n,), jnp.int32))
     return KmerTable(keys=keys, counts=counts, size=size), per_pos
 
 
@@ -262,7 +269,8 @@ def count_positions_table(kmers: jnp.ndarray, valid: jnp.ndarray,
 
 
 def count_solid_with_ids(kmers: jnp.ndarray, valid: jnp.ndarray,
-                         contributes: jnp.ndarray, k: int | None = None):
+                         contributes: jnp.ndarray, k: int | None = None,
+                         want_counts: bool = True):
     """Solid-node table AND per-position node ids from ONE sort.
 
     ``kmers [N, L]``: canonical k-mer at every read position;
@@ -283,7 +291,8 @@ def count_solid_with_ids(kmers: jnp.ndarray, valid: jnp.ndarray,
     already performs to build the node table.
     """
     return _scan_count(kmers, valid, contributes, k,
-                       include_zero=False, want_nid=True)
+                       include_zero=False, want_nid=True,
+                       want_counts=want_counts)
 
 
 def _lex_less_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -98,10 +98,14 @@ def _stage1(packed, valid_len, read_id, start, read_len, cov_threshold, *,
     c, pk, l = result.canon.shape
     # One sort yields the node table AND every position's node id; the
     # coverage pass then needs no lookup at all (count_solid_with_ids).
+    # want_counts=False: the node table's counts are never read (KC
+    # comes from the stage-3 coverage pass) -- dropping the count
+    # operand from the compaction sort is ~10% of stage-1 wall.
     node_table, nid = count_mod.count_solid_with_ids(
         result.canon.reshape(-1, l),
         result.owned.reshape(-1),
-        (result.is_solid & result.owned).reshape(-1), k=k)
+        (result.is_solid & result.owned).reshape(-1), k=k,
+        want_counts=False)
     return (node_table, seed_fw, has_seed, result.short_table,
             nid.reshape(c, pk))
 

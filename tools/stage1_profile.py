@@ -90,12 +90,23 @@ def stage_windowmin(*a):
     return is_solid, ssize, canon, owned_k, fw
 
 
+def stage_nodesort(*a):
+    # Main node sort + run scans only (no nid back-sort, no compaction):
+    # isolates the irreducible leg of count_solid_with_ids.
+    is_solid, ssize, canon, owned_k, fw = stage_windowmin(*a)
+    l = canon.shape[-1]
+    _, per_pos = count_mod.count_positions_table(
+        canon.reshape(-1, l), owned_k.reshape(-1),
+        (is_solid & owned_k).reshape(-1), k=k, want_table=False)
+    return per_pos, ssize, is_solid, owned_k, fw
+
+
 def stage_nodetable(*a):
     is_solid, ssize, canon, owned_k, fw = stage_windowmin(*a)
     l = canon.shape[-1]
     table, nid = count_mod.count_solid_with_ids(
         canon.reshape(-1, l), owned_k.reshape(-1),
-        (is_solid & owned_k).reshape(-1), k=k)
+        (is_solid & owned_k).reshape(-1), k=k, want_counts=False)
     return table.size, table.keys, ssize, is_solid, owned_k, fw
 
 
@@ -140,8 +151,10 @@ print(f"chunks={c} kmer_positions={pos}", flush=True)
 t_e = timed(stage_extract, "extract+canon")
 t_s = timed(stage_shortcount, "+ short count")
 t_w = timed(stage_windowmin, "+ window-min")
-t_n = timed(stage_nodetable, "+ node table")
+t_ns = timed(stage_nodesort, "+ node sort+scan only")
+t_n = timed(stage_nodetable, "+ node table (nid+compact)")
 t_x = timed(stage_seeds, "+ seeds (full stage1)")
 print(f"\ndeltas: short_count={t_s-t_e:.3f}s windowmin={t_w-t_s:.3f}s "
-      f"nodetable={t_n-t_w:.3f}s seeds={t_x-t_n:.3f}s")
+      f"node_main_sort={t_ns-t_w:.3f}s nid_backsort+compaction="
+      f"{t_n-t_ns:.3f}s seeds={t_x-t_n:.3f}s")
 print(f"total {t_x:.3f}s -> {pos/t_x/1e6:.1f} M kmers/s")
