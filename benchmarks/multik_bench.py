@@ -9,6 +9,10 @@ nor k=32/64/128 at all (template whitelist, ``src/Assemble.cpp:31-53``).
 
 Usage: python benchmarks/multik_bench.py [--genome-mb 1.0] [--repeats 40]
        [--repeat-len 100] [--coverage 25] [--k-list 32,64,128]
+       [--streaming [--slice-chunks 4096]]   # bounded-memory executor:
+       multi-k at read volumes the single-shot pipeline cannot hold in
+       HBM (VERDICT r4 item 4; e.g. --genome-mb 10 --coverage 12
+       --streaming is a >=100 Mbase multi-k run)
 """
 
 import argparse
@@ -41,6 +45,12 @@ def main():
     ap.add_argument("--sub", type=float, default=0.0)
     ap.add_argument("--k-list", type=str, default="32,64,128")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--streaming", action="store_true",
+                    help="run every round through assemble_streaming")
+    ap.add_argument("--slice-chunks", type=int, default=4096)
+    ap.add_argument("--skip-single", action="store_true",
+                    help="skip the single-k baseline round (it may not "
+                         "fit in HBM at streaming scales)")
     args = ap.parse_args()
 
     import dataclasses
@@ -67,21 +77,33 @@ def main():
     cfg = AssemblyConfig(k=k_list[0], log_path=None,
                          gfa_path="/tmp/multik_bench.gfa")
 
-    t0 = time.time()
-    single = assemble(reads, cfg, write_output=False)
-    t_single = time.time() - t0
-    s_single = stats(single)
-    print(f"# single k={k_list[0]}: {s_single} ({t_single:.1f}s)", flush=True)
+    if args.skip_single:
+        s_single, t_single = {"n50": 0}, 0.0
+    else:
+        t0 = time.time()
+        if args.streaming:
+            from platanus3_tpu.streaming import assemble_streaming
+            single = assemble_streaming(reads, cfg, write_output=False,
+                                        slice_chunks=args.slice_chunks)
+        else:
+            single = assemble(reads, cfg, write_output=False)
+        t_single = time.time() - t0
+        s_single = stats(single)
+        print(f"# single k={k_list[0]}: {s_single} ({t_single:.1f}s)",
+              flush=True)
 
     t0 = time.time()
     multi = assemble_multik(
-        reads, dataclasses.replace(cfg, k_list=k_list), write_output=True)
+        reads, dataclasses.replace(cfg, k_list=k_list), write_output=True,
+        streaming=args.streaming, slice_chunks=args.slice_chunks)
     t_multi = time.time() - t0
     s_multi = stats(multi)
     print(f"# multi-k {k_list}: {s_multi} ({t_multi:.1f}s)", flush=True)
 
     print(json.dumps({
         "config": "baseline-4-multik",
+        "streaming": bool(args.streaming),
+        "read_mbases": round(nbases / 1e6, 1),
         "genome_mb": args.genome_mb, "repeats": args.repeats,
         "repeat_len": args.repeat_len, "k_list": list(k_list),
         "single_k": s_single, "multi_k": s_multi,
