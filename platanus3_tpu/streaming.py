@@ -87,13 +87,18 @@ def _slices(total: int, step: int):
 
 def _fetch_barrier(*arrays):
     """True completion barrier on the tunneled TPU backend: a host fetch
-    of one element (block_until_ready only awaits dispatch there)."""
+    of one element (block_until_ready only awaits dispatch there).
+
+    Fetches a [1]*ndim corner SLICE -- never reshape: a standalone
+    reshape of a [47M, 2] array gets a 128-lane tiled layout from
+    XLA:TPU (minor dim 2 padded to 128 = 24 GiB, OOM -- hit live on the
+    chr21 rerun)."""
     for a in arrays:
         if a is None:
             continue
         for leaf in jax.tree.leaves(a):
-            if hasattr(leaf, "reshape") and getattr(leaf, "size", 0):
-                np.asarray(leaf.reshape(-1)[0:1])
+            if hasattr(leaf, "ndim") and getattr(leaf, "size", 0):
+                np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
                 break
 
 
