@@ -67,23 +67,42 @@ def _edge_targets(dbg: DBG):
 # (post-fixpoint rounds are identities, so batching cannot change the
 # result).
 _REACH_STAGED_THRESHOLD = 1 << 23
-_REACH_ROUNDS_PER_EXEC = 4
+_REACH_ROUNDS_PER_EXEC = 2
 
 
-def _flood_round(reach, e_ok, e_src, e_tgt_c):
+def _flood_round(reach, e_tgt):
+    """One propagation round.  Only ``e_tgt`` is materialized ([8M]
+    int32, -1 = no edge): the edge source is ``i mod m`` (column-major
+    tile) and validity is ``e_tgt >= 0``, both fused on the fly --
+    keeping resident flood state to one array (the first full-scale
+    chr21 flood OOM'd carrying e_ok/e_src/e_tgt plus four unrolled
+    rounds of full-width [8M] temporaries).  Edges are processed in
+    _GATHER_CHUNK slices end-to-end, so in-flight temporaries stay
+    chunk-sized.  Interleaving chunk updates only accelerates
+    propagation; the monotone flood's fixpoint (seed components) is
+    unchanged."""
+    from platanus3_tpu.graph.build import _GATHER_CHUNK
     nv = reach.shape[0]
+    ne = e_tgt.shape[0]
+    m = ne // 8
     new = reach
-    fwd = e_ok & chunked_gather(reach, e_src)
-    new = chunked_scatter_set(new, jnp.where(fwd, e_tgt_c, nv), True)
-    back = e_ok & chunked_gather(new, e_tgt_c)
-    new = chunked_scatter_set(new, jnp.where(back, e_src, nv), True)
+    for o in range(0, ne, _GATHER_CHUNK):
+        hi = min(o + _GATHER_CHUNK, ne)
+        tgt = e_tgt[o:hi]
+        src = jnp.arange(o, hi, dtype=jnp.int32) % np.int32(m)
+        ok = tgt >= 0
+        tgt_c = jnp.clip(tgt, 0, nv - 1)
+        fwd = ok & new[src]
+        new = new.at[jnp.where(fwd, tgt_c, nv)].set(True, mode="drop")
+        back = ok & new[tgt_c]
+        new = new.at[jnp.where(back, src, nv)].set(True, mode="drop")
     return new
 
 
 @jax.jit
-def _staged_flood_rounds(reach, e_ok, e_src, e_tgt_c):
+def _staged_flood_rounds(reach, e_tgt):
     for _ in range(_REACH_ROUNDS_PER_EXEC):
-        new = _flood_round(reach, e_ok, e_src, e_tgt_c)
+        new = _flood_round(reach, e_tgt)
         changed = jnp.any(new != reach)
         reach = new
     return reach, changed
@@ -121,23 +140,16 @@ def reachable(dbg: DBG, seed_fw: jnp.ndarray, has_seed: jnp.ndarray, k: int,
     ].set(True, mode="drop")
 
     e_tgt = _edge_targets(dbg)                   # [8M] flat, column-major
-    e_src = jnp.tile(jnp.arange(m, dtype=jnp.int32), 8)
-    e_ok = e_tgt >= 0
-    e_tgt_c = jnp.clip(e_tgt, 0, nv - 1)
 
     if staged:
         while True:
-            reach, changed = _staged_flood_rounds(reach, e_ok, e_src,
-                                                  e_tgt_c)
+            reach, changed = _staged_flood_rounds(reach, e_tgt)
             if not bool(changed):
                 break
     else:
         def body(state):
-            # Loop-body gathers/scatters over [8M] edge arrays (377M
-            # rows at chr21 scale) must be chunked -- see
-            # build.chunked_gather.
             reach, _ = state
-            new = _flood_round(reach, e_ok, e_src, e_tgt_c)
+            new = _flood_round(reach, e_tgt)
             changed = jnp.any(new != reach)
             return new, changed
 
