@@ -302,6 +302,20 @@ def _staged_round1(c, *, r: int):
     return c
 
 
+def _phase_probe(tag, *arrays):
+    """Env-gated (P3_STAGE2_LOG=1) phase timing for STAGED builds: fetch
+    one element (true tunnel barrier) and print a timestamped line.
+    Zero overhead when the env var is unset."""
+    import os
+    if os.environ.get("P3_STAGE2_LOG") != "1":
+        return
+    import time as _t
+    for a in arrays:
+        leaf = a
+        np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+    print(f"# stage2[{tag}] {_t.time():.3f}", flush=True)
+
+
 def build_graph(nodes: jnp.ndarray, size, k: int,
                 bf: bloom_mod.BloomFilter, use_exact: bool = False,
                 staged: bool = False) -> DBG:
@@ -325,7 +339,11 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     rounds = max(1, int(2 * m).bit_length())
     row_valid = jnp.arange(m, dtype=jnp.int32) < size
 
+    if staged:
+        _phase_probe("start", nodes)
     lp, lid, lfw, rp, rid, rfw = _neighbor_info(nodes, size, k, bf, use_exact)
+    if staged:
+        _phase_probe("neighbor_info", rid)
     ldeg = jnp.sum(lp, axis=1)
     rdeg = jnp.sum(rp, axis=1)
     is_junction = ((ldeg != 1) | (rdeg != 1)) & row_valid
@@ -392,6 +410,8 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
                              chunked_gather(nxt0_o, node_of_s))
     # Eager (staged) mode keeps every named intermediate's device buffer
     # alive; drop what later stages never read.  (No-op under jit.)
+    if staged:
+        _phase_probe("nxt_build", nxt)
     del ok0, s0, ok1, s1, odd, node_of_s, rpal, lpal
     del rb, lb, r_id, r_fw, r_pal, l_id, l_fw, l_pal
     del nxt0_id, nxt1_id, nxt0_o, nxt1_o
@@ -423,6 +443,7 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
             if bool(done):
                 break
         tail0, cyc_min = ptr, minv
+        _phase_probe("loop0", tail0)
     else:
         tail0, cyc_min = jax.lax.fori_loop(0, rounds, _body0,
                                            (nxt, states))
@@ -458,6 +479,7 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
             if bool(c[5]):  # same exit condition as _cond1
                 break
         _, tail, d2t, minall, fmin, _ = c
+        _phase_probe("loop1", tail)
     else:
         _, tail, d2t, minall, fmin, _ = jax.lax.while_loop(
             _cond1, _body1, carry1)
@@ -540,6 +562,8 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     is_joint = chunked_scatter_set(is_joint, tgt_t, True)
     joint_uid = chunked_scatter_max(joint_uid, tgt_h, uslot)
     joint_uid = chunked_scatter_max(joint_uid, tgt_t, uslot)
+    if staged:
+        _phase_probe("post", joint_uid)
 
     return DBG(
         nodes=nodes, size=jnp.asarray(size, jnp.int32),
