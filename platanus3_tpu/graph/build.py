@@ -175,6 +175,24 @@ jax.tree_util.register_pytree_node(
 _NEIGHBOR_CHUNK_THRESHOLD = 1 << 22
 
 
+from functools import partial as _jit_partial
+
+
+@_jit_partial(jax.jit, static_argnames=("side", "k", "use_exact"))
+def _neighbor_one(nodes, size, bf, base, *, side, k, use_exact):
+    """Resolve ONE (side, base) neighbor column: shifted k-mer ->
+    canonical -> node-table sort-join (+ membership)."""
+    m, l = nodes.shape
+    shift_fn = kmer_mod.shift_in_left if side == 0 else kmer_mod.shift_in_right
+    table = count_mod.KmerTable(nodes, jnp.zeros((m,), jnp.int32), size)
+    u = shift_fn(nodes, base, k)
+    canon, u_isfw = kmer_mod.canonical(u, k)
+    nid_b = count_mod.lookup_id_join(table, canon, k=k)
+    pres = (nid_b >= 0 if use_exact
+            else bloom_mod.bloom_query(bf, canon, k))
+    return nid_b, u_isfw, pres
+
+
 def _neighbor_info(nodes, size, k, bf, use_exact):
     """Membership/id/orientation of all 8 neighbors of every node.
 
@@ -192,16 +210,19 @@ def _neighbor_info(nodes, size, k, bf, use_exact):
 
     if m > _NEIGHBOR_CHUNK_THRESHOLD:
         nid_cols, isfw_cols, pres_cols = [], [], []
-        for shift_fn in (kmer_mod.shift_in_left, kmer_mod.shift_in_right):
+        for side in range(2):
             for b in range(4):
-                u = shift_fn(nodes, np.uint32(b), k)
-                canon, u_isfw = kmer_mod.canonical(u, k)
-                nid_b = count_mod.lookup_id_join(table, canon, k=k)
+                # One jitted program per join, reused across all 8
+                # (side, base) pairs (base is a traced scalar): in the
+                # STAGED build this phase previously ran eagerly --
+                # hundreds of unfused op dispatches materializing
+                # 94M-row intermediates, 59 s of the chr21 graph stage.
+                nid_b, u_isfw, pres_b = _neighbor_one(
+                    nodes, size, bf, np.uint32(b), side=side, k=k,
+                    use_exact=use_exact)
                 nid_cols.append(nid_b)
                 isfw_cols.append(u_isfw)
-                pres_cols.append(
-                    nid_b >= 0 if use_exact
-                    else bloom_mod.bloom_query(bf, canon, k))
+                pres_cols.append(pres_b)
         nid = jnp.stack(nid_cols, axis=1)          # [M, 8]
         all_isfw = jnp.stack(isfw_cols, axis=1)    # [M, 8]
         pres = jnp.stack(pres_cols, axis=1)
@@ -269,12 +290,91 @@ def _body0(_, c):
 
 
 def _body1(c):
-    i, ptr, dist, m1, m2, _ = c
+    # Chain loop carries only (ptr, dist): the per-chain min member and
+    # min FLIPPED member that used to ride here as two extra gathers per
+    # round are both recoverable from loop 0's reachable-min (cyc_min):
+    # at a chain head h, cyc_min[h] is the min member of h's chain, and
+    # cyc_min[flip(tail[h])] is the min member of the MIRROR chain
+    # (flip(tail) is the mirror's head; for broken cycles, flip(tail)
+    # lies on the mirror cycle whose pre-break reachable set is the
+    # whole cycle) -- i.e. the min of flipped members.  Halves the
+    # gather traffic of the longest doubling loop.
+    i, ptr, dist, _ = c
     p2 = chunked_gather(ptr, ptr)
     dist = dist + chunked_gather(dist, ptr)
-    m1 = jnp.minimum(m1, chunked_gather(m1, ptr))
-    m2 = jnp.minimum(m2, chunked_gather(m2, ptr))
-    return (i + 1, p2, dist, m1, m2, jnp.all(p2 == ptr))
+    return (i + 1, p2, dist, jnp.all(p2 == ptr))
+
+
+@_jit_partial(jax.jit, static_argnames=("k",))
+def _successor_states(nodes, size, lp, lid, lfw, rp, rid, rfw, *, k):
+    """Degrees, junction mask, and the per-state successor map, as ONE
+    jitted program (previously eager in staged mode: ~50 unfused
+    94M-row op dispatches, 48 s of the chr21 graph stage)."""
+    m, l = nodes.shape
+    row_valid = jnp.arange(m, dtype=jnp.int32) < size
+    ldeg = jnp.sum(lp, axis=1)
+    rdeg = jnp.sum(rp, axis=1)
+    is_junction = ((ldeg != 1) | (rdeg != 1)) & row_valid
+    chain_node = (~is_junction) & row_valid
+
+    # Palindrome flags of neighbors (orientation propagation, even k).
+    if k % 2 == 0:
+        def pal_of(ids):
+            idc = jnp.clip(ids, 0, m - 1)
+            return kmer_mod.is_palindrome(nodes[idc], k) & (ids >= 0)
+        lpal = pal_of(lid)
+        rpal = pal_of(rid)
+    else:
+        lpal = jnp.zeros_like(lp)
+        rpal = jnp.zeros_like(rp)
+
+    def pick(arr, b):
+        return jnp.take_along_axis(arr, b[:, None], axis=1)[:, 0]
+
+    rb = jnp.argmax(rp, axis=1).astype(jnp.int32)
+    lb = jnp.argmax(lp, axis=1).astype(jnp.int32)
+    r_id, r_fw, r_pal = pick(rid, rb), pick(rfw, rb), pick(rpal, rb)
+    l_id, l_fw, l_pal = pick(lid, lb), pick(lfw, lb), pick(lpal, lb)
+
+    # Walking right in canonical orientation (o=0): encountered form is
+    # the raw right neighbor; next orientation 0 iff that form is
+    # canonical.
+    nxt0_id = r_id
+    nxt0_o = jnp.where(r_fw, 0, 1).astype(jnp.int32)
+    # Walking right in reversed orientation (o=1): encountered form is
+    # revcomp(left neighbor); canonical iff the left neighbor is NOT
+    # canonical (or palindromic).
+    nxt1_id = l_id
+    nxt1_o = jnp.where(l_fw & ~l_pal, 1, 0).astype(jnp.int32)
+
+    def state_of(ids, orient):
+        ok = chain_node & (ids >= 0)
+        ok = ok & chunked_gather(chain_node, jnp.clip(ids, 0, m - 1))
+        s = ids * 2 + orient
+        return ok, s
+
+    ok0, s0 = state_of(nxt0_id, nxt0_o)
+    ok1, s1 = state_of(nxt1_id, nxt1_o)
+    states = jnp.arange(2 * m, dtype=jnp.int32)
+    # Build nxt FLAT over the 2M states (gathers from [M] per-node
+    # arrays by node id) -- never materializing an [M, 2] stack: XLA can
+    # assign such intermediates a 128-lane tiled layout, padding the
+    # minor dim 2 -> 128 (64x HBM; 24 GiB at chr21's 47M nodes).
+    node_of_s = states >> 1
+    odd = (states & 1) == 1
+    nxt = jnp.where(odd,
+                    jnp.where(chunked_gather(ok1, node_of_s),
+                              chunked_gather(s1, node_of_s), states),
+                    jnp.where(chunked_gather(ok0, node_of_s),
+                              chunked_gather(s0, node_of_s), states))
+    chain_state = chunked_gather(chain_node, node_of_s)
+    nxt = jnp.where(chain_state, nxt, states)
+    state_next_id = jnp.where(odd, chunked_gather(nxt1_id, node_of_s),
+                              chunked_gather(nxt0_id, node_of_s))
+    state_next_o = jnp.where(odd, chunked_gather(nxt1_o, node_of_s),
+                             chunked_gather(nxt0_o, node_of_s))
+    return (is_junction, chain_node, chain_state, nxt,
+            state_next_id, state_next_o)
 
 
 # Staged mode: doubling rounds batched per XLA execution (VERDICT r4
@@ -300,6 +400,97 @@ def _staged_round1(c, *, r: int):
     for _ in range(r):
         c = _body1(c)
     return c
+
+
+@jax.jit
+def _finalize_chains(nxt_orig, chain_state, chain_node, is_junction,
+                     cyc_head, cyc_min, tail, d2t):
+    """Heads, mirror dedup, unitig slots, membership, joints -- one
+    jitted program (previously ~30 eager 94M-row op dispatches, 43 s of
+    the chr21 staged graph stage).
+
+    Per-chain minima come from loop 0's reachable-min (``cyc_min``): at
+    a chain head h, cyc_min[h] is the min member state of h's chain, and
+    cyc_min[flip(tail[h])] is the min member of the MIRROR chain
+    (flip(tail) is the mirror's head; for broken cycles it lies on the
+    mirror cycle, whose pre-break reachable set is the whole cycle) --
+    exactly the min of flipped members the old 4-gather loop carried.
+    """
+    m2 = chain_state.shape[0]
+    m = m2 // 2
+    states = jnp.arange(m2, dtype=jnp.int32)
+    flip = states ^ 1
+    minall = cyc_min
+    fmin = chunked_gather(cyc_min, tail ^ 1)
+
+    # prev state: s has a predecessor iff its flip has a successor in the
+    # PRE-break map (nxt_orig[flip]==flip means flip is a tail -> s is a
+    # head).  Using the broken map here would also make the flip of a
+    # mirror cycle's break-tail look like a head mid-cycle.  Cycle heads
+    # are heads by construction.
+    has_prev = chain_state & (chunked_gather(nxt_orig, flip) != flip) \
+        & ~cyc_head
+    is_head = chain_state & ~has_prev
+
+    # Mirror dedup: every chain appears once per direction; keep the copy
+    # whose minimum member state is <= the mirror's minimum.  Strictly
+    # smaller for distinct mirror pairs; EQUAL exactly when the chain is
+    # its own mirror (a palindromic unitig whose spelled sequence equals
+    # its reverse complement) -- '<=' keeps it once.
+    keep = is_head & (minall <= fmin)
+
+    n_nodes = d2t + 1  # chain length in nodes, per head
+
+    # Lone chains (n == 1): promoted to junction (reference
+    # ``src/DeBruijnGraph.cpp:212-216``).
+    lone_state = is_head & (d2t == 0)
+    lone_node = lone_state[0::2] | lone_state[1::2]  # flat: no [M, 2]
+    is_junction_final = is_junction | (chain_node & lone_node)
+
+    real_head = keep & (d2t >= 1)
+
+    # ---- unitig ids, membership, positions ------------------------------
+    uid_of_head = jnp.cumsum(real_head.astype(jnp.int32)) - 1
+    num_unitigs = jnp.sum(real_head.astype(jnp.int32))
+    # Capacity M suffices: kept chains have >= 2 states and are
+    # state-disjoint over the 2M states, so num_unitigs <= M.
+    head_tgt = jnp.where(real_head, uid_of_head, m)
+    unitig_head = chunked_scatter_set(
+        jnp.full((m,), _NO_STATE), head_tgt, states)
+    unitig_tail = chunked_scatter_set(
+        jnp.full((m,), _NO_STATE), head_tgt, tail)
+    unitig_len = chunked_scatter_set(
+        jnp.zeros((m,), jnp.int32), head_tgt, n_nodes)
+    unitig_circular = chunked_scatter_set(
+        jnp.zeros((m,), bool), head_tgt, cyc_head)
+
+    # member -> head via the chain's unique tail state
+    head_by_tail = chunked_scatter_set(
+        jnp.full((m2,), _NO_STATE),
+        jnp.where(real_head, tail, m2), states)
+    my_head = chunked_gather(head_by_tail, tail)  # -1 if chain not kept
+    member = chain_state & (my_head >= 0)
+    my_head_c = jnp.clip(my_head, 0, m2 - 1)
+    uid = jnp.where(member, chunked_gather(uid_of_head, my_head_c),
+                    -1).astype(jnp.int32)
+    pos = jnp.where(member, chunked_gather(d2t, my_head_c) - d2t, -1)
+
+    # joints: end nodes of kept chains
+    head_node = unitig_head >> 1
+    tail_node = unitig_tail >> 1
+    valid_u = jnp.arange(m) < num_unitigs
+    uslot = jnp.arange(m, dtype=jnp.int32)
+    tgt_h = jnp.where(valid_u, head_node, m)
+    tgt_t = jnp.where(valid_u, tail_node, m)
+    is_joint = chunked_scatter_set(
+        jnp.zeros((m,), bool), tgt_h, True)
+    is_joint = chunked_scatter_set(is_joint, tgt_t, True)
+    joint_uid = chunked_scatter_max(
+        jnp.full((m,), np.int32(-1)), tgt_h, uslot)
+    joint_uid = chunked_scatter_max(joint_uid, tgt_t, uslot)
+    return (is_junction_final, is_joint, joint_uid, uid, pos,
+            unitig_head, unitig_tail, unitig_len, unitig_circular,
+            num_unitigs)
 
 
 def _phase_probe(tag, *arrays):
@@ -344,77 +535,13 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     lp, lid, lfw, rp, rid, rfw = _neighbor_info(nodes, size, k, bf, use_exact)
     if staged:
         _phase_probe("neighbor_info", rid)
-    ldeg = jnp.sum(lp, axis=1)
-    rdeg = jnp.sum(rp, axis=1)
-    is_junction = ((ldeg != 1) | (rdeg != 1)) & row_valid
-    chain_node = (~is_junction) & row_valid
-
-    # Palindrome flags of neighbors (for orientation propagation on even k).
-    if k % 2 == 0:
-        def pal_of(ids):
-            idc = jnp.clip(ids, 0, m - 1)
-            return kmer_mod.is_palindrome(nodes[idc], k) & (ids >= 0)
-        lpal = pal_of(lid)
-        rpal = pal_of(rid)
-    else:
-        lpal = jnp.zeros_like(lp)
-        rpal = jnp.zeros_like(rp)
-
-    # ---- successor states ------------------------------------------------
-    def pick(arr, b):
-        return jnp.take_along_axis(arr, b[:, None], axis=1)[:, 0]
-
-    rb = jnp.argmax(rp, axis=1).astype(jnp.int32)
-    lb = jnp.argmax(lp, axis=1).astype(jnp.int32)
-    r_id, r_fw, r_pal = pick(rid, rb), pick(rfw, rb), pick(rpal, rb)
-    l_id, l_fw, l_pal = pick(lid, lb), pick(lfw, lb), pick(lpal, lb)
-
-    # Walking right in canonical orientation (o=0): encountered form is the
-    # raw right neighbor; next orientation 0 iff that form is canonical.
-    nxt0_id = r_id
-    nxt0_o = jnp.where(r_fw, 0, 1).astype(jnp.int32)
-    # Walking right in reversed orientation (o=1): encountered form is
-    # revcomp(left neighbor); canonical iff the left neighbor is NOT
-    # canonical (or palindromic).
-    nxt1_id = l_id
-    nxt1_o = jnp.where(l_fw & ~l_pal, 1, 0).astype(jnp.int32)
-
-    def state_of(ids, orient):
-        ok = chain_node & (ids >= 0)
-        ok = ok & chunked_gather(chain_node, jnp.clip(ids, 0, m - 1))
-        s = ids * 2 + orient
-        return ok, s
-
-    ok0, s0 = state_of(nxt0_id, nxt0_o)
-    ok1, s1 = state_of(nxt1_id, nxt1_o)
+    # ---- successor states (one jitted program; see _successor_states) --
+    (is_junction, chain_node, chain_state, nxt,
+     state_next_id, state_next_o) = _successor_states(
+        nodes, size, lp, lid, lfw, rp, rid, rfw, k=k)
     states = jnp.arange(2 * m, dtype=jnp.int32)
-    # Build nxt FLAT over the 2M states (gathers from [M] per-node
-    # arrays by node id) -- never materializing an [M, 2] stack: XLA can
-    # assign such intermediates a 128-lane tiled layout, padding the
-    # minor dim 2 -> 128 (64x HBM; 24 GiB at chr21's 47M nodes).
-    node_of_s = states >> 1
-    odd = (states & 1) == 1
-    nxt = jnp.where(odd,
-                    jnp.where(chunked_gather(ok1, node_of_s),
-                              chunked_gather(s1, node_of_s), states),
-                    jnp.where(chunked_gather(ok0, node_of_s),
-                              chunked_gather(s0, node_of_s), states))
-    chain_state = chunked_gather(chain_node, node_of_s)
-    nxt = jnp.where(chain_state, nxt, states)
-    # Per-state continuations (DBG.state_next_*) computed here so the
-    # staged path can free the inputs; flat [2M] gathers (an [M, 2]
-    # stack would get the 64x-padded tiled layout, see DBG docstring).
-    state_next_id = jnp.where(odd, chunked_gather(nxt1_id, node_of_s),
-                              chunked_gather(nxt0_id, node_of_s))
-    state_next_o = jnp.where(odd, chunked_gather(nxt1_o, node_of_s),
-                             chunked_gather(nxt0_o, node_of_s))
-    # Eager (staged) mode keeps every named intermediate's device buffer
-    # alive; drop what later stages never read.  (No-op under jit.)
     if staged:
         _phase_probe("nxt_build", nxt)
-    del ok0, s0, ok1, s1, odd, node_of_s, rpal, lpal
-    del rb, lb, r_id, r_fw, r_pal, l_id, l_fw, l_pal
-    del nxt0_id, nxt1_id, nxt0_o, nxt1_o
 
     # ---- cycle detection & breaking -------------------------------------
     # One fused doubling loop over the PRE-break map yields tail0 AND the
@@ -452,7 +579,7 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     # Break each cycle just before its (min-state) head.
     nxt_orig = nxt
     nxt = jnp.where(cyclic & (nxt == cyc_min), states, nxt)
-    del tail0, cyc_min, cyclic  # staged-mode buffer hygiene
+    del tail0, cyclic  # staged-mode hygiene (cyc_min still feeds keep)
 
     # ---- chains ----------------------------------------------------------
     # Second fused loop on the broken (acyclic) map: tail + distance +
@@ -465,103 +592,28 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
     big = np.int32(2**30)
 
     def _cond1(c):
-        return (c[0] < rounds) & ~c[5]
+        return (c[0] < rounds) & ~c[3]
 
     carry1 = (jnp.zeros((), jnp.int32), nxt,
               (nxt != states).astype(jnp.int32),
-              jnp.where(chain_state, states, big),
-              jnp.where(chain_state, flip, big),
               jnp.zeros((), bool))
     if staged:
         c = carry1
         for _ in range(0, rounds, _STAGED_ROUNDS_PER_EXEC):
             c = _staged_round1(c, r=_STAGED_ROUNDS_PER_EXEC)
-            if bool(c[5]):  # same exit condition as _cond1
+            if bool(c[3]):  # same exit condition as _cond1
                 break
-        _, tail, d2t, minall, fmin, _ = c
+        _, tail, d2t, _ = c
         _phase_probe("loop1", tail)
     else:
-        _, tail, d2t, minall, fmin, _ = jax.lax.while_loop(
-            _cond1, _body1, carry1)
-
-    # prev state: s has a predecessor iff its flip has a successor in the
-    # PRE-break map (nxt_orig[flip]==flip means flip is a tail -> s is a
-    # head).  Using the broken map here would also make the flip of a
-    # mirror cycle's break-tail look like a head mid-cycle.  Cycle heads
-    # are heads by construction.
-    has_prev = chain_state & (chunked_gather(nxt_orig, flip) != flip) \
-        & ~cyc_head
-    is_head = chain_state & ~has_prev
-    del carry1, nxt, nxt_orig, flip, has_prev  # staged-mode hygiene
-
-    # Mirror dedup: every chain appears once per direction; keep the copy
-    # whose minimum member state is <= the mirror's minimum (computed as
-    # the min of flipped member ids).  Strictly smaller for distinct
-    # mirror pairs; EQUAL exactly when the chain is its own mirror (a
-    # palindromic unitig whose spelled sequence equals its reverse
-    # complement, e.g. ACG->CGC->GCG->CGT) -- '<=' keeps it once.
-    keep = is_head & (minall <= fmin)
-
-    n_nodes = d2t + 1  # chain length in nodes, per head
-
-    # Lone chains (n == 1): promoted to junction (reference
-    # ``src/DeBruijnGraph.cpp:212-216``); mirror states are both lone, the
-    # node promotion is orientation-independent.
-    lone_state = is_head & (d2t == 0)
-    lone_node = lone_state[0::2] | lone_state[1::2]  # flat: no [M, 2]
-    is_junction_final = is_junction | (chain_node & lone_node)
-
-    real_head = keep & (d2t >= 1)
-    del keep, minall, fmin, is_head, lone_state, lone_node  # hygiene
-
-    # ---- unitig ids, membership, positions -------------------------------
-    uid_of_head = jnp.cumsum(real_head.astype(jnp.int32)) - 1
-    num_unitigs = jnp.sum(real_head.astype(jnp.int32))
-    # head state per unitig slot.  Capacity M suffices: every kept chain
-    # has >= 2 STATES (d2t >= 1; a 2-state chain may occupy a single node
-    # when the successor is the node's own reverse complement, e.g.
-    # ACG->CGT) and chains are state-disjoint over the 2M states, so
-    # num_unitigs <= 2M/2 = M.
-    head_tgt = jnp.where(real_head, uid_of_head, m)
-    unitig_head = chunked_scatter_set(
-        jnp.full((m,), _NO_STATE), head_tgt, states)
-    unitig_tail = chunked_scatter_set(
-        jnp.full((m,), _NO_STATE), head_tgt, tail)
-    unitig_len = chunked_scatter_set(
-        jnp.zeros((m,), jnp.int32), head_tgt, n_nodes)
-    unitig_circular = chunked_scatter_set(
-        jnp.zeros((m,), bool), head_tgt, cyc_head)
-
-    # member -> head via the chain's unique tail state
-    head_by_tail = chunked_scatter_set(
-        jnp.full((2 * m,), _NO_STATE),
-        jnp.where(real_head, tail, 2 * m), states)
-    my_head = chunked_gather(head_by_tail, tail)  # -1 if chain not kept
-    del head_by_tail, tail, real_head, cyc_head, n_nodes  # hygiene
-    member = chain_state & (my_head >= 0)
-    my_head_c = jnp.clip(my_head, 0, 2 * m - 1)
-    uid = jnp.where(member, chunked_gather(uid_of_head, my_head_c),
-                    -1).astype(jnp.int32)
-    pos = jnp.where(member, chunked_gather(d2t, my_head_c) - d2t, -1)
-    del my_head, my_head_c, member, uid_of_head, d2t, chain_state
-    del head_tgt, states  # hygiene
-
-    node_state_uid = uid          # flat [2M], indexed by state
-    node_state_pos = pos
-
-    # joints: end nodes of kept chains
-    head_node = unitig_head >> 1
-    tail_node = unitig_tail >> 1
-    valid_u = jnp.arange(m) < num_unitigs
-    is_joint = jnp.zeros((m,), bool)
-    joint_uid = jnp.full((m,), np.int32(-1))
-    uslot = jnp.arange(m, dtype=jnp.int32)
-    tgt_h = jnp.where(valid_u, head_node, m)
-    tgt_t = jnp.where(valid_u, tail_node, m)
-    is_joint = chunked_scatter_set(is_joint, tgt_h, True)
-    is_joint = chunked_scatter_set(is_joint, tgt_t, True)
-    joint_uid = chunked_scatter_max(joint_uid, tgt_h, uslot)
-    joint_uid = chunked_scatter_max(joint_uid, tgt_t, uslot)
+        _, tail, d2t, _ = jax.lax.while_loop(_cond1, _body1, carry1)
+    del carry1, nxt  # staged-mode hygiene
+    (is_junction_final, is_joint, joint_uid, node_state_uid,
+     node_state_pos, unitig_head, unitig_tail, unitig_len,
+     unitig_circular, num_unitigs) = _finalize_chains(
+        nxt_orig, chain_state, chain_node, is_junction, cyc_head,
+        cyc_min, tail, d2t)
+    del nxt_orig, cyc_head, cyc_min, tail, d2t, chain_state, states
     if staged:
         _phase_probe("post", joint_uid)
 
