@@ -99,6 +99,33 @@ def _flood_round(reach, e_tgt):
     return new
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _reach_setup(dbg, seed_fw, has_seed, *, k):
+    """Seed-vertex resolution + initial reach mask + edge targets as
+    ONE program (eager in staged mode these are ~50 unfused 47M-row
+    dispatches)."""
+    m, l = dbg.nodes.shape
+    nv = 3 * m
+    canon, _ = kmer_mod.canonical(seed_fw, k)
+    table = count_mod.KmerTable(dbg.nodes, jnp.zeros((m,), jnp.int32),
+                                dbg.size)
+    sid = count_mod.lookup_id(table, canon)
+    sid = jnp.where(has_seed, sid, -1)
+    sidc = jnp.clip(sid, 0, m - 1)
+    s_uid = jnp.maximum(dbg.node_state_uid[2 * sidc],
+                        dbg.node_state_uid[2 * sidc + 1])
+    s_vert = jnp.where(dbg.is_junction_final[sidc], sidc,
+                       jnp.where(s_uid >= 0, m + s_uid, -1))
+    s_vert = jnp.where(sid >= 0, s_vert, -1)
+    reach = jnp.zeros((nv,), bool).at[
+        jnp.where(s_vert >= 0, s_vert, nv)
+    ].set(True, mode="drop")
+    return reach, _edge_targets(dbg)
+
+
 @jax.jit
 def _staged_flood_rounds(reach, e_tgt):
     for _ in range(_REACH_ROUNDS_PER_EXEC):
@@ -121,25 +148,7 @@ def reachable(dbg: DBG, seed_fw: jnp.ndarray, has_seed: jnp.ndarray, k: int,
     (see ``_REACH_STAGED_THRESHOLD``); results identical.
     """
     m, l = dbg.nodes.shape
-    nv = 3 * m  # m junction slots + 2m unitig slots
-
-    canon, _ = kmer_mod.canonical(seed_fw, k)
-    table = count_mod.KmerTable(dbg.nodes, jnp.zeros((m,), jnp.int32),
-                                dbg.size)
-    sid = count_mod.lookup_id(table, canon)
-    sid = jnp.where(has_seed, sid, -1)
-    sidc = jnp.clip(sid, 0, m - 1)
-    s_uid = jnp.maximum(dbg.node_state_uid[2 * sidc],
-                        dbg.node_state_uid[2 * sidc + 1])
-    s_vert = jnp.where(dbg.is_junction_final[sidc], sidc,
-                       jnp.where(s_uid >= 0, m + s_uid, -1))
-    s_vert = jnp.where(sid >= 0, s_vert, -1)
-
-    reach = jnp.zeros((nv,), bool).at[
-        jnp.where(s_vert >= 0, s_vert, nv)
-    ].set(True, mode="drop")
-
-    e_tgt = _edge_targets(dbg)                   # [8M] flat, column-major
+    reach, e_tgt = _reach_setup(dbg, seed_fw, has_seed, k=k)
 
     if staged:
         while True:

@@ -356,8 +356,8 @@ def assemble_streaming(source, config: AssemblyConfig,
         from jax.sharding import PartitionSpec as P
         from platanus3_tpu.parallel.sharded import to_global
 
-    def slice_arrays(lo, hi):
-        pad = slice_chunks - (hi - lo)
+    def slice_arrays(lo, hi, step=None):
+        pad = (step or slice_chunks) - (hi - lo)
         def cut(a, fill=0):
             s = np.asarray(a[lo:hi])
             if pad:
@@ -671,8 +671,14 @@ def assemble_streaming(source, config: AssemblyConfig,
                                           jun_tally=jun_tally)
         node_cov = jnp.zeros((m,), jnp.int32)
         jun_tally = jnp.zeros((m * 8,), jnp.int32)
-        for lo, hi in _slices(c_total, slice_chunks):
-            packed, vlen, rid, start, rlen, pb, nb = slice_arrays(lo, hi)
+        # Double-width coverage slices: each slice re-sorts the node
+        # table in its id join (count_coverage), so fewer, larger
+        # slices cut the dominant re-sort count in half for ~1 GB more
+        # slice workspace.
+        step2 = 2 * slice_chunks
+        for lo, hi in _slices(c_total, step2):
+            packed, vlen, rid, start, rlen, pb, nb = slice_arrays(
+                lo, hi, step2)
             node_cov, jun_tally = _cov_slice(
                 dbg, packed, vlen, start, rlen, pb, nb, node_cov,
                 jun_tally, k=k)
