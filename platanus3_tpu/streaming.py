@@ -302,6 +302,7 @@ def assemble_streaming(source, config: AssemblyConfig,
     c_total = batch.num_chunks
     log.write(f"[streaming] {batch.num_reads} reads, {batch.all_bases} "
               f"bases, {c_total} chunks, slice={slice_chunks}")
+    timer.mark("load")
 
     k = config.k
     short_k = min(config.short_k, k)
@@ -411,6 +412,7 @@ def assemble_streaming(source, config: AssemblyConfig,
                 node_shard_cap=-(-node_cap // n_dev),
                 add_to_bloom=need_bloom, bf_log2=bf.log2_bits,
                 bf_hashes=bf.num_hashes)
+        timer.mark("restore_spass2")
         log.write("[streaming] passes 1+2 restored from checkpoint")
     elif mesh is not None:
         # ---- mesh passes 1+2: hash-prefix-sharded accumulators ----
