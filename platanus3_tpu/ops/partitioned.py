@@ -40,11 +40,14 @@ partitioning (murmur lanes mix, ops/hashing.py) keeps partition loads
 uniform even on skewed genome composition, unlike key-prefix splits
 (canonical k-mers are lexicographically biased toward A/C starts).
 
-Capacity model: per-partition capacities are computed on the host from
-the EXACT valid/owned position totals (known from ``valid_len`` before
-any device work) plus slack for hash-load variance; a latched on-device
-overflow flag aborts the run if slack is ever exceeded (it cannot be
-silently wrong).
+Capacity model: a histogram PRE-PASS per pass (extract + hash +
+bincount per slice; no buffers) measures the exact per-partition row
+totals and per-(slice, partition) maxima, and capacities are planned
+from those measurements (``plan_caps``) -- composition-proof by
+construction (repeat families concentrate millions of occurrences of a
+few k-mers onto single partitions; uniform-slack sizing overflowed on a
+realistic chromosome).  A latched on-device overflow flag remains as an
+invariant check.
 
 Reference mapping: this is still ``CountShortKmer`` + ``MakeBF``'s
 counting semantics (reference ``src/Load.cpp:105-127``,
@@ -68,7 +71,8 @@ from platanus3_tpu.ops import kmer as kmer_mod
 from platanus3_tpu.ops import solid as solid_mod
 from platanus3_tpu.ops.windowmin import window_min
 
-__all__ = ["NUM_PARTS", "plan_caps", "collect_short_slice",
+__all__ = ["NUM_PARTS", "plan_caps", "histogram_short_slice",
+           "histogram_solid_slice", "collect_short_slice",
            "count_partition", "solid_collect_slice", "dedup_partition",
            "place_block", "finalize_table"]
 
@@ -82,49 +86,72 @@ _PART_SEED = 0x51C3A27D
 _MSB = np.uint32(0x80000000)
 
 
-def plan_caps(total_rows: int, slice_rows: int, parts: int,
-              slack: float = 1.12):
-    """Per-slice block size and per-partition capacity for a partitioned
-    append buffer that will receive at most ``total_rows`` rows in slices
-    of at most ``slice_rows`` rows.
+def plan_caps(hist_total, hist_slice_max, parts: int):
+    """EXACT buffer plan from measured per-partition loads (the KMC-style
+    pre-statistics pass).
 
-    ``s_blk`` bounds one slice's contribution to one partition (latched
-    overflow if exceeded); ``cap_p`` bounds a partition's total fill.
-    Both carry slack over the uniform-hash expectation -- hash-load
-    variance at these scales is tiny (count-weighted binomial), so 12-15%
-    absorbs even pathological composition skew; the on-device latch makes
-    any excess loud, never silent.
+    Uniform-slack sizing is not composition-proof: every occurrence of a
+    k-mer lands in its hash's partition, so a repeat family at chr21
+    scale (60 distinct 21-mers x ~2M occurrences each) concentrates tens
+    of millions of rows on whichever partitions its few k-mers hash to --
+    the first realistic-chromosome run overflowed a 12% slack.  A cheap
+    histogram pre-pass (extract + hash + bincount per slice, no buffers)
+    measures the exact per-partition totals and the per-(slice,
+    partition) maxima, and extraction is deterministic, so capacities
+    planned from it can NEVER overflow.
+
+    Returns ``(s_blks tuple, caps tuple, bases tuple, total_rows)``:
+    per-partition per-slice block sizes (rounded up to 2^16) and
+    capacities (rounded up to 2^21 so the partition-count programs
+    compile for only a few distinct shapes), plus flat-buffer base
+    offsets.
     """
-    s_blk = min(slice_rows, int(np.ceil(slice_rows / parts * 1.15)) + 256)
-    cap_p = int(np.ceil(total_rows / parts * slack)) + s_blk + 1024
-    return s_blk, cap_p
+    hist_total = np.asarray(hist_total)
+    hist_slice_max = np.asarray(hist_slice_max)
+    s_blks, caps = [], []
+    for p in range(parts):
+        sb = int(-(-int(hist_slice_max[p] + 1) // (1 << 16)) * (1 << 16))
+        cap = int(hist_total[p]) + sb  # + one block of junk tail
+        cap = -(-cap // (1 << 21)) * (1 << 21)
+        s_blks.append(sb)
+        caps.append(cap)
+    bases = [0]
+    for c in caps[:-1]:
+        bases.append(bases[-1] + c)
+    return (tuple(s_blks), tuple(caps), tuple(bases),
+            bases[-1] + caps[-1])
 
 
-def _append_partitioned(cols, part, bufs, fills, ovf, *, parts, s_blk,
-                        cap_p):
+def _append_partitioned(cols, part, bufs, fills, ovf, *, parts, s_blks,
+                        caps, bases):
     """Append rows (tuple of [N] u32 ``cols``) into partitioned buffers.
 
     ``part [N] int32``: target partition per row; rows with ``part ==
-    parts`` are dropped (invalid positions).  ``bufs``: tuple of
-    ``[parts * cap_p] u32`` (partition p occupies ``[p*cap_p, (p+1)*
-    cap_p)``); ``fills [parts] int32``.  One slice-local 1-key sort
-    groups rows by partition, then each partition's contiguous range is
-    block-copied (fixed ``s_blk`` rows) to its fill offset; the block's
+    parts`` are dropped (invalid positions).  ``bufs``: tuple of flat
+    column arrays; partition p occupies ``[bases[p], bases[p]+caps[p])``
+    with per-slice block size ``s_blks[p]`` (all static, planned EXACTLY
+    from the histogram pre-pass -- see plan_caps).  One slice-local
+    1-key sort groups rows by partition, then each partition's
+    contiguous range is block-copied to its fill offset; the block's
     padding tail is overwritten by the next slice's write, so buffers
-    stay dense.  Overflow (block or capacity) latches ``ovf``.
+    stay dense.  The overflow latch remains as a belts-and-braces
+    invariant check (planned capacities cannot overflow).
     """
+    max_blk = max(s_blks)
     srt = jax.lax.sort((part,) + tuple(cols), num_keys=1, is_stable=False)
     part_s = srt[0]
-    cols_s = [jnp.concatenate([c, jnp.zeros((s_blk,), c.dtype)])
+    cols_s = [jnp.concatenate([c, jnp.zeros((max_blk,), c.dtype)])
               for c in srt[1:]]
     offs = jnp.searchsorted(
         part_s, jnp.arange(parts + 1, dtype=part_s.dtype)).astype(jnp.int32)
     new_bufs = list(bufs)
     for p in range(parts):
+        s_blk = s_blks[p]
+        cap_p = caps[p]
         cnt = offs[p + 1] - offs[p]
         fill = fills[p]
         ovf = ovf | (cnt > s_blk) | (fill + cnt > cap_p - s_blk)
-        base = p * cap_p + jnp.minimum(fill, cap_p - s_blk)
+        base = bases[p] + jnp.minimum(fill, cap_p - s_blk)
         for j, c in enumerate(cols_s):
             blk = jax.lax.dynamic_slice(c, (offs[p],), (s_blk,))
             new_bufs[j] = jax.lax.dynamic_update_slice(
@@ -140,19 +167,61 @@ def _part_of(canon, kk: int, valid, parts: int):
                      np.int32(parts))
 
 
-@partial(jax.jit,
-         static_argnames=("k", "short_k", "parts", "s_blk", "cap_p"),
-         donate_argnums=(0, 1, 2))
-def collect_short_slice(bufs, fills, ovf, packed, vlen, start, rlen,
-                        posbase, *, k, short_k, parts, s_blk, cap_p):
-    """Pass-1 collect: append this slice's valid canonical short k-mers
-    as (lanes..., posid | owned<<31) rows.  ``posbase`` = global position
-    id of this slice's first chunk-local position."""
+@partial(jax.jit, static_argnames=("k", "short_k", "parts"))
+def histogram_short_slice(hist_total, hist_max, packed, vlen, start,
+                          rlen, *, k, short_k, parts):
+    """Pre-pass: per-partition valid-row counts of one slice.  Updates
+    the running totals and per-slice maxima ([parts] int32 each)."""
     bases = kmer_mod.unpack_bases(packed)
     c, chunk_len = bases.shape
     stride = chunk_len - k + 1
-    s_canon, s_valid, s_owned = solid_mod.short_kmer_positions(
+    s_canon, s_valid, _ = solid_mod.short_kmer_positions(
         bases, vlen, start, rlen, stride, short_k, k)
+    part = _part_of(s_canon, short_k, s_valid, parts).reshape(-1)
+    h = jnp.zeros((parts + 1,), jnp.int32).at[part].add(1)[:parts]
+    return hist_total + h, jnp.maximum(hist_max, h)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "short_k", "cov_threshold", "parts"))
+def histogram_solid_slice(hist_total, hist_max, counts, packed, vlen,
+                          start, rlen, posbase_s, *, k, short_k,
+                          cov_threshold, parts):
+    """Pre-pass for the node buffers: per-partition SOLID-OWNED row
+    counts of one slice (same solidity computation as the collect)."""
+    bases = kmer_mod.unpack_bases(packed)
+    c, chunk_len = bases.shape
+    stride = chunk_len - k + 1
+    p_short = chunk_len - short_k + 1
+    pk = chunk_len - k + 1
+    counts_slice = jax.lax.dynamic_slice(
+        counts, (jnp.asarray(posbase_s, jnp.int32),), (c * p_short,))
+    cov_est = window_min(counts_slice.reshape(c, p_short),
+                         k - short_k + 1)
+    fwk, valid_k = kmer_mod.extract_kmers(bases, vlen, k)
+    canon_k, _ = kmer_mod.canonical(fwk, k)
+    owned_k = solid_mod.owned_mask(start, rlen, stride, pk, k, k) & valid_k
+    solid_owned = ((cov_est >= cov_threshold) & valid_k) & owned_k
+    part = _part_of(canon_k, k, solid_owned, parts).reshape(-1)
+    h = jnp.zeros((parts + 1,), jnp.int32).at[part].add(1)[:parts]
+    return hist_total + h, jnp.maximum(hist_max, h)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "short_k", "parts", "s_blks", "caps",
+                          "bases"),
+         donate_argnums=(0, 1, 2))
+def collect_short_slice(bufs, fills, ovf, packed, vlen, start, rlen,
+                        posbase, *, k, short_k, parts, s_blks, caps,
+                        bases):
+    """Pass-1 collect: append this slice's valid canonical short k-mers
+    as (lanes..., posid | owned<<31) rows.  ``posbase`` = global position
+    id of this slice's first chunk-local position."""
+    bcodes = kmer_mod.unpack_bases(packed)
+    c, chunk_len = bcodes.shape
+    stride = chunk_len - k + 1
+    s_canon, s_valid, s_owned = solid_mod.short_kmer_positions(
+        bcodes, vlen, start, rlen, stride, short_k, k)
     l = s_canon.shape[-1]
     n = c * s_canon.shape[1]
     flat = [s_canon[..., j].reshape(n) for j in range(l)]
@@ -162,17 +231,21 @@ def collect_short_slice(bufs, fills, ovf, packed, vlen, start, rlen,
     pay = pos | jnp.where(owned, _MSB, np.uint32(0))
     part = _part_of(s_canon, short_k, s_valid, parts).reshape(n)
     return _append_partitioned(tuple(flat) + (pay,), part, bufs, fills,
-                               ovf, parts=parts, s_blk=s_blk, cap_p=cap_p)
+                               ovf, parts=parts, s_blks=s_blks,
+                               caps=caps, bases=bases)
 
 
 @partial(jax.jit, static_argnames=("short_k", "cap_p"),
          donate_argnums=(0,))
-def count_partition(counts, bufs, fills, pidx, *, short_k, cap_p):
+def count_partition(counts, bufs, fills, pidx, pbase, *, short_k, cap_p):
     """Pass-1 count: sort one partition once, scatter every row's run
     total (count of OWNED copies of its k-mer) to ``counts[posid]``.
+    ``pbase``: the partition's flat base offset (traced; ``cap_p`` is
+    static and rounded so only a few shapes compile).
     Returns ``(counts, n_unique_in_partition)``."""
     l = len(bufs) - 1
-    cols = [jax.lax.dynamic_slice(b, (pidx * cap_p,), (cap_p,))
+    cols = [jax.lax.dynamic_slice(b, (jnp.asarray(pbase, jnp.int32),),
+                                  (cap_p,))
             for b in bufs]
     kmers = jnp.stack(cols[:l], axis=-1)
     pay = cols[l]
@@ -192,21 +265,22 @@ def count_partition(counts, bufs, fills, pidx, *, short_k, cap_p):
 
 @partial(jax.jit,
          static_argnames=("k", "short_k", "cov_threshold", "num_reads",
-                          "parts", "s_blk", "cap_p", "add_bloom",
-                          "bf_log2", "bf_hashes"),
+                          "parts", "s_blks", "caps", "bases",
+                          "add_bloom", "bf_log2", "bf_hashes"),
          donate_argnums=(0, 1, 2, 3, 4, 5))
 def solid_collect_slice(bufs, fills, ovf, min_pos, seed_fw, bf_bits,
                         counts, packed, vlen, rid, start, rlen, posbase_s,
                         *, k, short_k, cov_threshold, num_reads, parts,
-                        s_blk, cap_p, add_bloom, bf_log2, bf_hashes):
+                        s_blks, caps, bases, add_bloom, bf_log2,
+                        bf_hashes):
     """Pass-2 collect: per-position short counts via one CONTIGUOUS
     ``dynamic_slice`` of the global counts array (no lookup), window-min
     solidity, per-read first-solid seed reduction (identical to the
     round-4 slice program, byte-for-byte results), optional Bloom
     insert, and append of the solid owned canonical k-mers into the node
     partition buffers."""
-    bases = kmer_mod.unpack_bases(packed)
-    c, chunk_len = bases.shape
+    bcodes = kmer_mod.unpack_bases(packed)
+    c, chunk_len = bcodes.shape
     stride = chunk_len - k + 1
     p_short = chunk_len - short_k + 1
     pk = chunk_len - k + 1
@@ -218,7 +292,7 @@ def solid_collect_slice(bufs, fills, ovf, min_pos, seed_fw, bf_bits,
     w = k - short_k + 1
     cov_est = window_min(per_pos, w)
 
-    fwk, valid_k = kmer_mod.extract_kmers(bases, vlen, k)
+    fwk, valid_k = kmer_mod.extract_kmers(bcodes, vlen, k)
     canon_k, _ = kmer_mod.canonical(fwk, k)
     owned_k = solid_mod.owned_mask(start, rlen, stride, pk, k, k) & valid_k
     is_solid = (cov_est >= cov_threshold) & valid_k
@@ -257,18 +331,19 @@ def solid_collect_slice(bufs, fills, ovf, min_pos, seed_fw, bf_bits,
     flat_ck = [canon_k[..., j].reshape(-1) for j in range(lk)]
     part = _part_of(canon_k, k, solid_owned, parts).reshape(-1)
     bufs, fills, ovf = _append_partitioned(
-        tuple(flat_ck), part, bufs, fills, ovf, parts=parts, s_blk=s_blk,
-        cap_p=cap_p)
+        tuple(flat_ck), part, bufs, fills, ovf, parts=parts,
+        s_blks=s_blks, caps=caps, bases=bases)
     return bufs, fills, ovf, min_pos, seed_fw, bf_bits
 
 
 @partial(jax.jit, static_argnames=("k", "cap_p"))
-def dedup_partition(bufs, fills, pidx, *, k, cap_p):
+def dedup_partition(bufs, fills, pidx, pbase, *, k, cap_p):
     """Pass-2 count: sort one node partition once, keep each distinct
     k-mer's first row, compacted to the front (padding 0xFFFFFFFF).
     Returns ``(out_cols, n_unique)``."""
     l = len(bufs)
-    cols = [jax.lax.dynamic_slice(b, (pidx * cap_p,), (cap_p,))
+    cols = [jax.lax.dynamic_slice(b, (jnp.asarray(pbase, jnp.int32),),
+                                  (cap_p,))
             for b in bufs]
     kmers = jnp.stack(cols, axis=-1)
     invalid = jnp.arange(cap_p, dtype=jnp.int32) >= fills[pidx]

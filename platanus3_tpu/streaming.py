@@ -494,14 +494,22 @@ def assemble_streaming(source, config: AssemblyConfig,
                 f"streaming position space {total_s} exceeds 2^31 "
                 f"(position ids are 31-bit); split the input into "
                 f"multiple batches or raise chunk_len")
-        vl = np.asarray(batch.valid_len)
+        # pass 1 pre-pass: exact per-partition histograms (plan_caps
+        # docstring: uniform slack is not composition-proof; repeat
+        # families concentrate millions of rows on single partitions).
+        h_tot = jnp.zeros((parts,), jnp.int32)
+        h_max = jnp.zeros((parts,), jnp.int32)
+        for lo, hi in _slices(c_total, slice_chunks):
+            packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
+            h_tot, h_max = part_mod.histogram_short_slice(
+                h_tot, h_max, packed, vlen, start, rlen, k=k,
+                short_k=short_k, parts=parts)
+        s_blks_s, caps_s, bases_s, total_rows_s = part_mod.plan_caps(
+            jax.device_get(h_tot), jax.device_get(h_max), parts)
+        timer.mark("pass1_histogram")
 
         # pass 1 collect: (short-kmer lanes, posid|owned) into P buffers
-        total_valid_s = int(np.clip(vl - short_k + 1, 0, p_short).sum())
-        n_slice_s = slice_chunks * p_short
-        s_blk_s, cap_s = part_mod.plan_caps(total_valid_s, n_slice_s,
-                                            parts)
-        bufs = tuple(jnp.zeros((parts * cap_s,), jnp.uint32)
+        bufs = tuple(jnp.zeros((total_rows_s,), jnp.uint32)
                      for _ in range(l_s + 1))
         fills = jnp.zeros((parts,), jnp.int32)
         ovf = jnp.zeros((), bool)
@@ -510,12 +518,12 @@ def assemble_streaming(source, config: AssemblyConfig,
             bufs, fills, ovf = part_mod.collect_short_slice(
                 bufs, fills, ovf, packed, vlen, start, rlen,
                 np.int32(lo * p_short), k=k, short_k=short_k,
-                parts=parts, s_blk=s_blk_s, cap_p=cap_s)
+                parts=parts, s_blks=s_blks_s, caps=caps_s, bases=bases_s)
         if bool(jax.device_get(ovf)):
             raise RuntimeError(
-                "streaming pass-1 partition-buffer overflow (hash-load "
-                "slack exceeded -- pathological composition skew); "
-                "raise the slack in ops/partitioned.plan_caps")
+                "streaming pass-1 partition-buffer overflow -- "
+                "impossible with histogram-planned capacities; "
+                "indicates nondeterministic extraction (bug)")
         timer.mark("pass1_collect")
 
         # pass 1 count: one sort per partition, counts scattered to the
@@ -524,8 +532,8 @@ def assemble_streaming(source, config: AssemblyConfig,
         n_uni_parts = []
         for p in range(parts):
             counts, nu = part_mod.count_partition(
-                counts, bufs, fills, np.int32(p), short_k=short_k,
-                cap_p=cap_s)
+                counts, bufs, fills, np.int32(p), np.int32(bases_s[p]),
+                short_k=short_k, cap_p=caps_s[p])
             n_uni_parts.append(nu)
         n_short = int(sum(int(x) for x in jax.device_get(n_uni_parts)))
         del bufs, fills
@@ -536,14 +544,23 @@ def assemble_streaming(source, config: AssemblyConfig,
                 f"short k-mers observed; re-run with larger short_cap")
         log.write(f"[streaming] pass1 done: {n_short} distinct short k-mers")
 
+        # pass 2 pre-pass: exact histograms of the solid-owned rows.
+        h_tot = jnp.zeros((parts,), jnp.int32)
+        h_max = jnp.zeros((parts,), jnp.int32)
+        for lo, hi in _slices(c_total, slice_chunks):
+            packed, vlen, rid, start, rlen, _, _ = slice_arrays(lo, hi)
+            h_tot, h_max = part_mod.histogram_solid_slice(
+                h_tot, h_max, counts, packed, vlen, start, rlen,
+                np.int32(lo * p_short), k=k, short_k=short_k,
+                cov_threshold=config.cov_threshold, parts=parts)
+        s_blks_k, caps_k, bases_k, total_rows_k = part_mod.plan_caps(
+            jax.device_get(h_tot), jax.device_get(h_max), parts)
+        timer.mark("pass2_histogram")
+
         # pass 2 collect: contiguous counts slice -> window-min ->
         # solid owned canonical k-mers into node partition buffers
         # (+ seeds, + optional Bloom).
-        total_owned_k = int(np.clip(vl - k + 1, 0, pk).sum())
-        n_slice_k = slice_chunks * pk
-        s_blk_k, cap_k = part_mod.plan_caps(total_owned_k, n_slice_k,
-                                            parts)
-        bufs2 = tuple(jnp.zeros((parts * cap_k,), jnp.uint32)
+        bufs2 = tuple(jnp.zeros((total_rows_k,), jnp.uint32)
                       for _ in range(l_k))
         fills2 = jnp.zeros((parts,), jnp.int32)
         ovf = jnp.zeros((), bool)
@@ -558,14 +575,14 @@ def assemble_streaming(source, config: AssemblyConfig,
                 packed, vlen, rid, start, rlen, np.int32(lo * p_short),
                 k=k, short_k=short_k,
                 cov_threshold=config.cov_threshold,
-                num_reads=batch.num_reads, parts=parts, s_blk=s_blk_k,
-                cap_p=cap_k, add_bloom=need_bloom, bf_log2=bf.log2_bits,
-                bf_hashes=bf.num_hashes)
+                num_reads=batch.num_reads, parts=parts, s_blks=s_blks_k,
+                caps=caps_k, bases=bases_k, add_bloom=need_bloom,
+                bf_log2=bf.log2_bits, bf_hashes=bf.num_hashes)
         if bool(jax.device_get(ovf)):
             raise RuntimeError(
-                "streaming pass-2 partition-buffer overflow (hash-load "
-                "slack exceeded); raise the slack in "
-                "ops/partitioned.plan_caps")
+                "streaming pass-2 partition-buffer overflow -- "
+                "impossible with histogram-planned capacities; "
+                "indicates nondeterministic extraction (bug)")
         timer.mark("pass2_collect")
         bf = bf._replace(bits=bf_bits)
         del counts
@@ -574,8 +591,9 @@ def assemble_streaming(source, config: AssemblyConfig,
         # disjoint, one final sort gives the lex-sorted node table.
         outs, n_ps = [], []
         for p in range(parts):
-            o, n_p = part_mod.dedup_partition(bufs2, fills2, np.int32(p),
-                                              k=k, cap_p=cap_k)
+            o, n_p = part_mod.dedup_partition(
+                bufs2, fills2, np.int32(p), np.int32(bases_k[p]), k=k,
+                cap_p=caps_k[p])
             outs.append(o)
             n_ps.append(n_p)
         n_ps = [int(x) for x in jax.device_get(n_ps)]
@@ -586,7 +604,7 @@ def assemble_streaming(source, config: AssemblyConfig,
             raise RuntimeError(
                 f"node_cap {node_cap} overflow: {n_total} distinct solid "
                 f"nodes observed; re-run with larger node_cap")
-        dst_cap = n_total + cap_k
+        dst_cap = n_total + max(caps_k)
         dst = tuple(jnp.full((dst_cap,), np.uint32(0xFFFFFFFF))
                     for _ in range(l_k))
         off = 0
