@@ -112,7 +112,14 @@ def plan_caps(hist_total, hist_slice_max, parts: int):
     for p in range(parts):
         sb = int(-(-int(hist_slice_max[p] + 1) // (1 << 16)) * (1 << 16))
         cap = int(hist_total[p]) + sb  # + one block of junk tail
-        cap = -(-cap // (1 << 21)) * (1 << 21)
+        # Quantize capacities COARSELY (2^23 above 2^23, else 2^21): the
+        # per-partition count/dedup programs compile once per distinct
+        # cap, and fine 2^21 steps on a skewed realistic chromosome
+        # produced 16 distinct shapes = ~320 s of compiles in pass-1
+        # count alone.  2^23 steps cost <= parts * 2^22 rows of padding
+        # (~0.8 GB at 3 columns) for ~4 distinct shapes.
+        step = (1 << 23) if cap > (1 << 23) else (1 << 21)
+        cap = -(-cap // step) * step
         s_blks.append(sb)
         caps.append(cap)
     bases = [0]
