@@ -507,8 +507,14 @@ def assemble_streaming(source, config: AssemblyConfig,
         s_blks_s, caps_s, bases_s, total_rows_s = part_mod.plan_caps(
             jax.device_get(h_tot), jax.device_get(h_max), parts)
         timer.mark("pass1_histogram")
+        log.write(f"[streaming] pass1 plan: {total_rows_s} buffer rows x "
+                  f"{l_s + 1} cols "
+                  f"({total_rows_s * (l_s + 1) * 4 / 2**30:.2f} GiB), "
+                  f"max partition {max(caps_s)}")
 
         # pass 1 collect: (short-kmer lanes, posid|owned) into P buffers
+        import gc
+        gc.collect()  # drop pre-pass slice buffers before the big alloc
         bufs = tuple(jnp.zeros((total_rows_s,), jnp.uint32)
                      for _ in range(l_s + 1))
         fills = jnp.zeros((parts,), jnp.int32)
@@ -556,6 +562,10 @@ def assemble_streaming(source, config: AssemblyConfig,
         s_blks_k, caps_k, bases_k, total_rows_k = part_mod.plan_caps(
             jax.device_get(h_tot), jax.device_get(h_max), parts)
         timer.mark("pass2_histogram")
+        log.write(f"[streaming] pass2 plan: {total_rows_k} buffer rows x "
+                  f"{l_k} cols "
+                  f"({total_rows_k * l_k * 4 / 2**30:.2f} GiB), "
+                  f"max partition {max(caps_k)}")
 
         # pass 2 collect: contiguous counts slice -> window-min ->
         # solid owned canonical k-mers into node partition buffers
