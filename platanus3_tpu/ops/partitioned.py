@@ -84,6 +84,41 @@ NUM_PARTS = 16
 
 _PART_SEED = 0x51C3A27D
 _MSB = np.uint32(0x80000000)
+_NOT_MSB = np.uint32(0x7FFFFFFF)
+
+
+def _sort_cols(cols, invalid, payloads, kk):
+    """Non-stable sort of COLUMN-TUPLE keys with invalids last -- the
+    column-wise twin of ``count.sort_kmers``.  Never stacks the lanes
+    into an [N, L] array: at multi-k lane counts (L=4 for k=64, L=8 for
+    k=128) XLA assigned the stacked intermediate a 128-lane tiled layout
+    (minor dim L padded to 128 -- a 21 GiB allocation at a 10M-row
+    partition, OOM'd the first 120-Mbase multi-k streaming run).
+
+    Returns ``(sorted_cols tuple, sorted_invalid, sorted_payloads
+    tuple)``; same ordering contract as sort_kmers (invalid flag folded
+    into lane 0's spare top bit when 2*kk mod 32 != 0, else a leading
+    key operand)."""
+    l = len(cols)
+    top_bits = 2 * kk - 32 * (l - 1)
+    if 0 < top_bits < 32:
+        lane0 = jnp.where(invalid, cols[0] | _MSB, cols[0])
+        ops = (lane0,) + tuple(cols[1:]) + tuple(payloads)
+        out = jax.lax.sort(ops, num_keys=l, is_stable=False)
+        s_inv = (out[0] & _MSB) > 0
+        s_cols = ((out[0] & _NOT_MSB),) + tuple(out[1:l])
+        return s_cols, s_inv, tuple(out[l:])
+    ops = (invalid.astype(jnp.uint32),) + tuple(cols) + tuple(payloads)
+    out = jax.lax.sort(ops, num_keys=l + 1, is_stable=False)
+    return tuple(out[1:l + 1]), out[0] > 0, tuple(out[l + 1:])
+
+
+def _is_first_cols(s_cols, s_inv):
+    """Run starts over column-tuple sorted keys (twin of count._is_first)."""
+    diff = s_inv[1:] != s_inv[:-1]
+    for c in s_cols:
+        diff = diff | (c[1:] != c[:-1])
+    return jnp.concatenate([jnp.ones((1,), bool), diff])
 
 
 def plan_caps(hist_total, hist_slice_max, parts: int):
@@ -254,13 +289,12 @@ def count_partition(counts, bufs, fills, pidx, pbase, *, short_k, cap_p):
     cols = [jax.lax.dynamic_slice(b, (jnp.asarray(pbase, jnp.int32),),
                                   (cap_p,))
             for b in bufs]
-    kmers = jnp.stack(cols[:l], axis=-1)
     pay = cols[l]
     invalid = jnp.arange(cap_p, dtype=jnp.int32) >= fills[pidx]
-    s_k, s_inv, s_pay = count_mod.sort_kmers(kmers, invalid, pay,
-                                             k=short_k, stable=False)
+    s_cols, s_inv, (s_pay,) = _sort_cols(tuple(cols[:l]), invalid,
+                                         (pay,), short_k)
     contrib = (s_pay >> 31).astype(jnp.int32)
-    is_first = count_mod._is_first(s_k, s_inv)
+    is_first = _is_first_cols(s_cols, s_inv)
     run_total = count_mod._run_totals(
         is_first, jnp.where(s_inv, 0, contrib))
     posid = (s_pay & count_mod._NOT_MSB).astype(jnp.int32)
@@ -352,16 +386,15 @@ def dedup_partition(bufs, fills, pidx, pbase, *, k, cap_p):
     cols = [jax.lax.dynamic_slice(b, (jnp.asarray(pbase, jnp.int32),),
                                   (cap_p,))
             for b in bufs]
-    kmers = jnp.stack(cols, axis=-1)
     invalid = jnp.arange(cap_p, dtype=jnp.int32) >= fills[pidx]
-    s_k, s_inv = count_mod.sort_kmers(kmers, invalid, k=k, stable=False)
-    is_first = count_mod._is_first(s_k, s_inv)
+    s_cols, s_inv, _ = _sort_cols(tuple(cols), invalid, (), k)
+    is_first = _is_first_cols(s_cols, s_inv)
     uniq = is_first & ~s_inv
     rank = jnp.cumsum(uniq.astype(jnp.int32)) - 1
     tgt = jnp.where(uniq, rank, np.int32(cap_p))
     outs = tuple(
         jnp.full((cap_p,), np.uint32(0xFFFFFFFF)).at[tgt].set(
-            s_k[:, j], mode="drop") for j in range(l))
+            s_cols[j], mode="drop") for j in range(l))
     n_p = jnp.sum(uniq.astype(jnp.int32))
     return outs, n_p
 
