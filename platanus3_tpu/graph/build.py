@@ -318,10 +318,19 @@ def _successor_states(nodes, size, lp, lid, lfw, rp, rid, rfw, *, k):
     chain_node = (~is_junction) & row_valid
 
     # Palindrome flags of neighbors (orientation propagation, even k).
+    # Per-COLUMN [M]-index gathers: an [M, 4]-index gather of [M, L]
+    # nodes builds an [M, 4, L] intermediate that XLA tiles with the
+    # minor dim padded 4 -> 128 (21 GiB at the 120-Mbase multi-k k=64
+    # round's 10.5M-node cap -- OOM).
     if k % 2 == 0:
         def pal_of(ids):
-            idc = jnp.clip(ids, 0, m - 1)
-            return kmer_mod.is_palindrome(nodes[idc], k) & (ids >= 0)
+            cols = []
+            for b in range(4):
+                idb = ids[:, b]
+                idc = jnp.clip(idb, 0, m - 1)
+                cols.append(kmer_mod.is_palindrome(nodes[idc], k)
+                            & (idb >= 0))
+            return jnp.stack(cols, axis=1)
         lpal = pal_of(lid)
         rpal = pal_of(rid)
     else:
