@@ -392,7 +392,46 @@ def _successor_states(nodes, size, lp, lid, lfw, rp, rid, rfw, *, k):
 # tunnel's per-execution host round-trip once per 4 rounds.
 _STAGED_ROUNDS_PER_EXEC = 4
 
+# Active-set compaction tiers for the staged doubling loops.  A state's
+# carry stops changing exactly when its pointer has reached a fixpoint
+# (monotone: once converged, every later round is an identity), so after
+# each batch the still-changing states are the only ones whose rounds do
+# work -- yet the full-array batch keeps gathering all 2M rows.  When
+# the changed count fits a tier, the loop switches to COMPACTED rounds:
+# carry rows only for active states, gather targets from and scatter
+# results back to the full-size global arrays each round (gather-all-
+# then-scatter preserves the synchronous round semantics bit-exactly).
+# Tiers are FIXED fractions of the state count so each loop compiles at
+# most len(_COMPACT_TIERS) extra shapes, reused across rebuilds.
+# Payoff is shape-dependent: a repeat-tangled graph (realistic chr21:
+# 762k chains averaging 37 nodes over 56.8M states) converges ~99% of
+# states within 2 batches, leaving 5+ batches to run at 1/8..1/128 of
+# the full-row cost; a junction-free random genome (42k-node average
+# chains) only sheds the last few batches.
+_COMPACT_TIERS = (8, 32, 128)
+
+
+def _compact_pad(n_active: int, m2: int):
+    """Smallest tier capacity holding ``n_active`` rows, or None when
+    only the full array does."""
+    best = None
+    for frac in _COMPACT_TIERS:
+        cap = max(m2 // frac, 16)
+        if n_active <= cap:
+            best = cap
+    return best
+
 from functools import partial as _partial
+
+
+# The ``changed`` masks below compare the LAST SINGLE ROUND only, never
+# the whole batch: ``ptr[s]`` unchanged over one round means ``ptr[s]``
+# is a fixpoint of the map, which (acyclic chains AND cycles alike)
+# happens exactly when s's doubling reach is complete -- so min/dist are
+# final too and the state can retire from the active set.  A batch-level
+# comparison is UNSOUND on cycles: a length-c cycle looks unchanged
+# across a 4-round batch whenever c divides 2^i * 15 (e.g. c=5 at round
+# 8) yet keeps rotating afterwards.
 
 
 @_partial(jax.jit, static_argnames=("r",))
@@ -401,14 +440,137 @@ def _staged_round0(c, *, r: int):
     for _ in range(r - 1):
         ptr, minv = _body0(None, (ptr, minv))
     p2, minv = _body0(None, (ptr, minv))
-    return p2, minv, jnp.all(p2 == ptr)
+    changed = p2 != ptr
+    return p2, minv, jnp.all(p2 == ptr), changed
 
 
 @_partial(jax.jit, static_argnames=("r",))
 def _staged_round1(c, *, r: int):
-    for _ in range(r):
+    for _ in range(r - 1):
         c = _body1(c)
-    return c
+    prev_ptr = c[1]
+    c = _body1(c)
+    changed = c[1] != prev_ptr
+    return c, changed
+
+
+# ---- compacted round programs (active rows only; see _COMPACT_TIERS).
+# ``idx [pad]`` holds the active states' ids (fill = m2, out of range:
+# gathers clamp to a junk-but-in-range row, scatters drop).  Each round
+# gathers the targets' PREVIOUS-round values from the globals first and
+# scatters the new carries back after -- identical to the synchronous
+# full-array round restricted to rows that can still change.
+
+
+@_partial(jax.jit, static_argnames=("r",))
+def _compact_round0(idx, ptr_a, min_a, ptr_g, min_g, *, r: int):
+    m2 = ptr_g.shape[0]
+    valid = idx < m2
+    p_prev = ptr_a
+    for _ in range(r):
+        p_prev = ptr_a
+        pg = chunked_gather(ptr_g, ptr_a)
+        mg = chunked_gather(min_g, ptr_a)
+        ptr_a = pg
+        min_a = jnp.minimum(min_a, mg)
+        ptr_g = chunked_scatter_set(ptr_g, idx, ptr_a)
+        min_g = chunked_scatter_set(min_g, idx, min_a)
+    changed = (ptr_a != p_prev) & valid
+    return ptr_a, min_a, ptr_g, min_g, changed, jnp.sum(changed)
+
+
+@_partial(jax.jit, static_argnames=("r",))
+def _compact_round1(idx, ptr_a, dist_a, ptr_g, dist_g, *, r: int):
+    m2 = ptr_g.shape[0]
+    valid = idx < m2
+    p_prev = ptr_a
+    for _ in range(r):
+        p_prev = ptr_a
+        pg = chunked_gather(ptr_g, ptr_a)
+        dg = chunked_gather(dist_g, ptr_a)
+        dist_a = dist_a + dg
+        ptr_a = pg
+        ptr_g = chunked_scatter_set(ptr_g, idx, ptr_a)
+        dist_g = chunked_scatter_set(dist_g, idx, dist_a)
+    changed = (ptr_a != p_prev) & valid
+    return ptr_a, dist_a, ptr_g, dist_g, changed, jnp.sum(changed)
+
+
+def _compact_select(mask, pad, m2, idx=None, *carries):
+    """Active-row ids (+ carries) compacted to ``pad`` rows.  With
+    ``idx`` given, ``mask``/``carries`` are in COMPACT coordinates of
+    the previous tier and are re-based through it."""
+    sub = jnp.nonzero(mask, size=pad, fill_value=mask.shape[0])[0]
+    sub = sub.astype(jnp.int32)
+    ok = sub < mask.shape[0]
+    sub_c = jnp.clip(sub, 0, mask.shape[0] - 1)
+    new_idx = (jnp.where(ok, sub, m2) if idx is None
+               else jnp.where(ok, idx[sub_c], m2))
+    return (new_idx,) + tuple(c[sub_c] for c in carries)
+
+
+def _staged_doubling(loop, init_carry, rounds, probe):
+    """Host-driven doubling loop with batched rounds and active-set
+    compaction.  ``loop`` is 0 (cycle detection: carry (ptr, min)) or 1
+    (chains: carry (ptr, dist)); returns the two final global arrays.
+
+    Phase 1 runs `_STAGED_ROUNDS_PER_EXEC`-round batches over the full
+    state array, keeping the pre-batch carry to derive the changed set
+    (one scalar fetch per batch -- the same sync the early-exit test
+    already paid).  Once the changed count fits a `_COMPACT_TIERS`
+    capacity, phase 2 runs compacted batches, re-basing to a smaller
+    tier whenever the count allows.  Results are bit-identical to the
+    all-full-array loop: rounds past a state's convergence are
+    identities, and compact rounds replay the exact synchronous update
+    on the only rows that can still change.
+    """
+    a_g, b_g = init_carry
+    m2 = a_g.shape[0]
+    batch = _STAGED_ROUNDS_PER_EXEC
+    full_round = _staged_round0 if loop == 0 else _staged_round1
+    comp_round = _compact_round0 if loop == 0 else _compact_round1
+    done_rounds = 0
+    idx = None
+    a_c = b_c = None
+    pad = None
+    while done_rounds < rounds:
+        # Exact round budget (last batch may be short): cycle states
+        # rotate forever, so running past ``rounds`` would leave their
+        # pointers at a different (production-benign but not
+        # bit-identical-to-jitted) rotation.
+        r_b = min(batch, rounds - done_rounds)
+        if idx is None:
+            if loop == 0:
+                a_g, b_g, done, changed = _staged_round0((a_g, b_g),
+                                                         r=r_b)
+            else:
+                c, changed = _staged_round1(
+                    (jnp.zeros((), jnp.int32), a_g, b_g,
+                     jnp.zeros((), bool)), r=r_b)
+                _, a_g, b_g, done = c
+            done_rounds += r_b
+            if bool(done):
+                break
+            n_act = int(jnp.sum(changed))
+            pad = _compact_pad(n_act, m2)
+            if pad is not None and pad < m2:
+                idx, a_c, b_c = _compact_select(
+                    changed, pad, m2, None, a_g, b_g)
+                probe(f"compact@{done_rounds}r->{pad}", idx)
+        else:
+            a_c, b_c, a_g, b_g, changed, n_ch = comp_round(
+                idx, a_c, b_c, a_g, b_g, r=r_b)
+            done_rounds += r_b
+            n_act = int(n_ch)
+            if n_act == 0:
+                break
+            npad = _compact_pad(n_act, m2)
+            if npad is not None and npad < pad:
+                idx, a_c, b_c = _compact_select(
+                    changed, npad, m2, idx, a_c, b_c)
+                pad = npad
+                probe(f"recompact@{done_rounds}r->{pad}", idx)
+    return a_g, b_g
 
 
 @jax.jit
@@ -568,17 +730,11 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
         # cutting the per-round host round-trips (hundreds of ms tunnel
         # latency each) 4x.  Post-fixpoint applications are identities,
         # so batching rounds cannot change the result (doubling past
-        # convergence leaves ptr/min/dist unchanged).
-        ptr, minv = nxt, states
-        for _ in range(0, rounds, _STAGED_ROUNDS_PER_EXEC):
-            # Early exit only at an all-states fixpoint (cycles never
-            # reach one, so cyc_min keeps propagating, exactly like the
-            # fixed-round fori_loop).  bool() = one host sync per batch.
-            ptr, minv, done = _staged_round0(
-                (ptr, minv), r=_STAGED_ROUNDS_PER_EXEC)
-            if bool(done):
-                break
-        tail0, cyc_min = ptr, minv
+        # convergence leaves ptr/min/dist unchanged).  Once the changed
+        # set fits a _COMPACT_TIERS capacity, rounds run COMPACTED over
+        # the still-active rows only (_staged_doubling).
+        tail0, cyc_min = _staged_doubling(0, (nxt, states), rounds,
+                                          _phase_probe)
         _phase_probe("loop0", tail0)
     else:
         tail0, cyc_min = jax.lax.fori_loop(0, rounds, _body0,
@@ -607,12 +763,9 @@ def build_graph(nodes: jnp.ndarray, size, k: int,
               (nxt != states).astype(jnp.int32),
               jnp.zeros((), bool))
     if staged:
-        c = carry1
-        for _ in range(0, rounds, _STAGED_ROUNDS_PER_EXEC):
-            c = _staged_round1(c, r=_STAGED_ROUNDS_PER_EXEC)
-            if bool(c[3]):  # same exit condition as _cond1
-                break
-        _, tail, d2t, _ = c
+        tail, d2t = _staged_doubling(
+            1, (nxt, (nxt != states).astype(jnp.int32)), rounds,
+            _phase_probe)
         _phase_probe("loop1", tail)
     else:
         _, tail, d2t, _ = jax.lax.while_loop(_cond1, _body1, carry1)

@@ -188,3 +188,56 @@ def test_non_pow2_cap_with_simplify(monkeypatch):
     monkeypatch.setattr(pipeline, "_GRAPH_CAP_STEP", 96)
     small = pipeline.assemble(reads, cfg, write_output=False)
     assert small.gfa_lines == base.gfa_lines
+
+
+def _synthetic_chain_map(n=4096):
+    """Successor map with many short chains, a few long ones, and a
+    5-cycle -- shaped to drive the staged doubling loops through BOTH
+    the full-array and the compacted-active-set phases (the 5-cycle is
+    the adversarial case: its pointers look unchanged across a 4-round
+    batch at round 8 because 5 divides 2^8 * 15, yet keep rotating --
+    only the per-single-round change test may retire states)."""
+    nxt = np.arange(n, dtype=np.int32)
+    pos = 0
+    for length in [3] * 800 + [7] * 100 + [300, 500, 1000]:
+        if pos + length >= n - 40:
+            break
+        for i in range(pos, pos + length - 1):
+            nxt[i] = i + 1
+        pos += length
+    for i in range(n - 6, n - 1):
+        nxt[i] = i + 1
+    nxt[n - 2] = n - 6  # cycle of 5: states n-6 .. n-2
+    return jnp.asarray(nxt)
+
+
+def test_staged_doubling_compaction_bitexact():
+    """_staged_doubling (batched rounds + active-set compaction) must be
+    bit-identical to the plain synchronous doubling loops, including on
+    cycles and through tier recompaction."""
+    n = 4096
+    nxt = _synthetic_chain_map(n)
+    states = jnp.arange(n, dtype=jnp.int32)
+    rounds = max(1, int(n).bit_length())
+
+    engaged = []
+    probe = lambda tag, *a: engaged.append(tag)
+
+    ptr, minv = nxt, states
+    for _ in range(rounds):
+        ptr, minv = build_mod._body0(None, (ptr, minv))
+    a0, b0 = build_mod._staged_doubling(0, (nxt, states), rounds, probe)
+    np.testing.assert_array_equal(np.asarray(ptr), np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(minv), np.asarray(b0))
+
+    c = (jnp.zeros((), jnp.int32), nxt, (nxt != states).astype(jnp.int32),
+         jnp.zeros((), bool))
+    while int(c[0]) < rounds and not bool(c[3]):
+        c = build_mod._body1(c)
+    a1, b1 = build_mod._staged_doubling(
+        1, (nxt, (nxt != states).astype(jnp.int32)), rounds, probe)
+    np.testing.assert_array_equal(np.asarray(c[1]), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(c[2]), np.asarray(b1))
+
+    # the shape above must actually ENGAGE compaction in both loops
+    assert sum(t.startswith("compact@") for t in engaged) >= 2, engaged
