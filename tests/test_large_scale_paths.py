@@ -241,3 +241,23 @@ def test_staged_doubling_compaction_bitexact():
 
     # the shape above must actually ENGAGE compaction in both loops
     assert sum(t.startswith("compact@") for t in engaged) >= 2, engaged
+
+
+def test_compact_select_rebase():
+    """_compact_select maps active rows to state ids both from the full
+    mask (engagement) and through a previous tier's idx (recompaction)."""
+    m2 = 100
+    mask = np.zeros(m2, bool)
+    mask[[3, 7, 50, 99]] = True
+    idx, a = build_mod._compact_select(
+        jnp.asarray(mask), 8, m2, None, jnp.arange(m2, dtype=jnp.int32))
+    assert list(np.asarray(idx[:4])) == [3, 7, 50, 99]
+    assert np.all(np.asarray(idx[4:]) == m2)
+    assert list(np.asarray(a[:4])) == [3, 7, 50, 99]
+
+    cmask = np.zeros(8, bool)
+    cmask[[1, 3]] = True
+    idx2, a2 = build_mod._compact_select(jnp.asarray(cmask), 4, m2, idx, a)
+    assert list(np.asarray(idx2[:2])) == [7, 99]
+    assert np.all(np.asarray(idx2[2:]) == m2)
+    assert list(np.asarray(a2[:2])) == [7, 99]
